@@ -1,0 +1,108 @@
+"""Configuration dataclasses for the dvsg_tpu framework.
+
+The reference (posgraph/coupe.DVSG) uses argparse flags scattered through its
+entry scripts (SURVEY.md §5.6; reference mount empty — citation unavailable).
+Here all configuration is a frozen dataclass: hashable, so it can sit on the
+``jax.jit`` static-argument boundary, and serializable to/from JSON for
+reproducible runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Motion-estimation CNN hyperparameters.
+
+    The CNN consumes a sliding temporal window of ``window`` frames, resized
+    to ``model_size``, stacked on channels, and regresses a coarse
+    ``grid_size`` control grid of normalized warp offsets which is bilinearly
+    upsampled to the output resolution (SURVEY.md §3.3).
+    """
+
+    window: int = 5                       # temporal window length N
+    model_size: Tuple[int, int] = (256, 256)   # (H, W) the CNN sees
+    base_features: int = 32               # encoder width at full model res
+    levels: int = 4                       # stride-2 encoder stages
+    blocks_per_level: int = 2             # residual conv blocks per stage
+    grid_size: Tuple[int, int] = (16, 16)  # coarse control grid (gh, gw)
+    max_offset: float = 0.2               # max |offset| in normalized units
+    channels: int = 3                     # input channels per frame
+    dtype: str = "float32"                # compute dtype: float32 | bfloat16
+
+    def __post_init__(self):
+        gh, gw = self.grid_size
+        mh, mw = self.model_size
+        if mh % gh or mw % gw:
+            raise ValueError(
+                f"model_size {self.model_size} must be divisible by "
+                f"grid_size {self.grid_size}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class StabilizeConfig:
+    """End-to-end stabilization pipeline configuration."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    chunk_frames: int = 16        # frames per device step (temporal chunk T)
+    warp_impl: str = "auto"       # auto | pallas | lax
+    mesh_shape: Tuple[int, ...] = (1,)   # data-parallel mesh ("data",)
+    io_threads: int = 4           # host decode/encode thread pool size
+    queue_depth: int = 3          # staging ring depth (decode↔compute↔encode)
+    border_crop: float = 0.0      # optional stabilized-border crop fraction
+
+    def replace(self, **kw) -> "StabilizeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Self-supervised training configuration (synthetic-jitter fixtures)."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    batch_size: int = 8
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-5
+    steps: int = 1000
+    warmup_steps: int = 100
+    pixel_weight: float = 1.0
+    smooth_weight: float = 0.1    # temporal smoothness between frame grids
+    reg_weight: float = 0.01      # offset magnitude regularizer
+    seed: int = 0
+    checkpoint_every: int = 200
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {k: _to_jsonable(v) for k, v in dataclasses.asdict(obj).items()}
+    if isinstance(obj, tuple):
+        return list(obj)
+    return obj
+
+
+def config_to_json(cfg: Any) -> str:
+    return json.dumps(_to_jsonable(cfg), indent=2, sort_keys=True)
+
+
+def _tuplify(d: dict, keys=("model_size", "grid_size", "mesh_shape")) -> dict:
+    out = dict(d)
+    for k in keys:
+        if k in out and isinstance(out[k], list):
+            out[k] = tuple(out[k])
+    return out
+
+
+def model_config_from_dict(d: dict) -> ModelConfig:
+    return ModelConfig(**_tuplify(d))
+
+
+def stabilize_config_from_dict(d: dict) -> StabilizeConfig:
+    d = _tuplify(d)
+    if isinstance(d.get("model"), dict):
+        d["model"] = model_config_from_dict(d["model"])
+    return StabilizeConfig(**d)

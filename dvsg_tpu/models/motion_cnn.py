@@ -1,0 +1,123 @@
+"""Motion-estimation CNN: sliding frame window → coarse warp-offset grid.
+
+TPU-first design notes (vs the reference's single-GPU CNN, SURVEY.md §1 L4;
+reference mount empty — citation unavailable):
+
+* The network always sees a fixed ``model_size`` resolution regardless of the
+  video resolution, so there is exactly ONE compiled XLA program per config —
+  no shape polymorphism, no recompiles across 480p/720p/1080p inputs.
+* Channels-last NHWC, feature widths that are multiples of 8/128 after the
+  first stage, and 3x3 convs → XLA tiles everything onto the MXU.
+* GroupNorm (batch-independent) instead of BatchNorm: no cross-device stats,
+  so data-parallel inference needs zero collectives (SURVEY.md §2.3 DP row).
+* The head regresses a coarse ``grid_size`` control grid of normalized
+  offsets, tanh-bounded by ``max_offset``; upsampling to dense resolution
+  happens outside the network (ops/grid.py), keeping the CNN cost independent
+  of output resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dvsg_tpu.config import ModelConfig
+from dvsg_tpu.ops import grid as grid_ops
+
+
+def _dtype(cfg: ModelConfig):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.dtype]
+
+
+class ResBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="gn1")(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv2")(h)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="gn2")(h)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        return nn.gelu(x + h)
+
+
+class MotionEstimator(nn.Module):
+    """Window of stacked frames → coarse normalized warp offsets.
+
+    Input:  (B, Hm, Wm, window * channels), values roughly in [-0.5, 0.5].
+    Output: (B, gh, gw, 2) offsets in normalized grid units, |off| <= max_offset.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, window: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        mh, mw = cfg.model_size
+        gh, gw = cfg.grid_size
+        if window.shape[-3:-1] != (mh, mw):
+            raise ValueError(
+                f"expected spatial dims {cfg.model_size}, got {window.shape}")
+
+        x = window.astype(dt)
+        feats = cfg.base_features
+        x = nn.Conv(feats, (7, 7), padding="SAME", dtype=dt, name="stem")(x)
+        x = nn.gelu(x)
+
+        # Stride-2 encoder pyramid down to the control-grid resolution.
+        down = 1
+        level = 0
+        while (mh // down, mw // down) != (gh, gw) and level < cfg.levels * 2:
+            feats = min(feats * 2, 256)
+            x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=dt, name=f"down{level}")(x)
+            x = nn.gelu(x)
+            for b in range(cfg.blocks_per_level):
+                x = ResBlock(feats, dtype=dt, name=f"res{level}_{b}")(x)
+            down *= 2
+            level += 1
+        if (mh // down, mw // down) != (gh, gw):
+            raise ValueError(
+                f"cannot reach grid_size {cfg.grid_size} from "
+                f"model_size {cfg.model_size} by stride-2 stages")
+
+        # Head: f32 for stable small-offset regression even under bf16 body.
+        x = nn.Conv(feats, (3, 3), padding="SAME", dtype=jnp.float32,
+                    name="head_conv")(x.astype(jnp.float32))
+        x = nn.gelu(x)
+        off = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                      kernel_init=nn.initializers.zeros,
+                      name="head_out")(x)
+        return jnp.tanh(off) * cfg.max_offset
+
+
+def init_params(cfg: ModelConfig, rng: jax.Array):
+    model = MotionEstimator(cfg)
+    mh, mw = cfg.model_size
+    dummy = jnp.zeros((1, mh, mw, cfg.window * cfg.channels), jnp.float32)
+    return model.init(rng, dummy)["params"]
+
+
+def predict_offsets(cfg: ModelConfig, params, windows: jax.Array) -> jax.Array:
+    """Apply the CNN: windows (B, Hm, Wm, N*C) → offsets (B, gh, gw, 2)."""
+    return MotionEstimator(cfg).apply({"params": params}, windows)
+
+
+def predict_grid(cfg: ModelConfig, params, windows: jax.Array,
+                 out_height: int, out_width: int) -> jax.Array:
+    """Windows → dense full-resolution sampling grids (B, H, W, 2)."""
+    offsets = predict_offsets(cfg, params, windows)
+    return jax.vmap(
+        lambda o: grid_ops.grid_from_offsets(o, out_height, out_width)
+    )(offsets)

@@ -1,0 +1,64 @@
+"""Warp-grid construction utilities.
+
+Convention (pinned by tests against ``torch.nn.functional.grid_sample``):
+
+* a sampling grid has shape ``(H, W, 2)`` with last dim ``(x, y)``,
+* coordinates are normalized to ``[-1, 1]`` with ``align_corners=True``
+  semantics: ``-1`` maps to pixel ``0`` and ``+1`` to pixel ``S - 1``,
+* out-of-range coordinates sample with border clamping.
+
+The reference builds its grid as identity-meshgrid + predicted offsets
+(SURVEY.md §3.3; reference mount empty — citation unavailable).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def identity_grid(height: int, width: int) -> jax.Array:
+    """Identity sampling grid, shape (H, W, 2), last dim (x, y) in [-1, 1]."""
+    # align_corners=True: endpoints land exactly on pixel centers 0 and S-1.
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # each (H, W)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def upsample_offsets(offsets: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinearly upsample coarse control offsets (..., gh, gw, 2) → (..., H, W, 2).
+
+    Offsets are in normalized units, so upsampling does not rescale values.
+    """
+    *lead, gh, gw, c = offsets.shape
+    out_shape = (*lead, height, width, c)
+    return jax.image.resize(offsets, out_shape, method="bilinear")
+
+
+def grid_from_offsets(offsets: jax.Array, height: int, width: int) -> jax.Array:
+    """Full-resolution sampling grid from coarse offsets: identity + upsample."""
+    dense = upsample_offsets(offsets.astype(jnp.float32), height, width)
+    return identity_grid(height, width) + dense
+
+
+def grid_to_pixel_coords(grid: jax.Array, height: int, width: int):
+    """Unnormalize an align_corners=True grid to pixel coordinates (x, y)."""
+    x = (grid[..., 0] + 1.0) * 0.5 * (width - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (height - 1)
+    return x, y
+
+
+def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
+    """Sampling grid for a 2x3 affine matrix acting on normalized coords.
+
+    ``theta`` maps output coords to input coords (same convention as
+    ``torch.nn.functional.affine_grid``): shape (2, 3).
+    """
+    base = identity_grid(height, width)  # (H, W, 2) in (x, y)
+    ones = jnp.ones((height, width, 1), dtype=base.dtype)
+    homo = jnp.concatenate([base, ones], axis=-1)  # (H, W, 3)
+    return jnp.einsum("hwk,ck->hwc", homo, theta.astype(base.dtype))
