@@ -1,0 +1,177 @@
+"""Command-line entry points, preserving the reference's public surface:
+stabilize a video file or frame directory into stabilized output
+(BASELINE.json north_star; SURVEY.md §1 L7 — reference mount empty,
+citation unavailable).
+
+  python -m dvsg_tpu.cli stabilize --input shaky.mp4 --output stable.mp4
+  python -m dvsg_tpu.cli train --checkpoint ckpt/ --steps 1000
+  python stabilize.py --input frames_dir/ --output out_dir/   (root wrapper)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--window", type=int, default=5,
+                   help="temporal window length N")
+    p.add_argument("--model-size", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"), help="CNN input resolution")
+    p.add_argument("--grid-size", type=int, nargs=2, default=(16, 16),
+                   metavar=("GH", "GW"), help="coarse control grid")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32", help="CNN compute dtype")
+
+
+def _model_cfg(args):
+    from dvsg_tpu.config import ModelConfig
+    return ModelConfig(window=args.window,
+                       model_size=tuple(args.model_size),
+                       grid_size=tuple(args.grid_size),
+                       dtype=args.dtype)
+
+
+def stabilize_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="dvsg-stabilize",
+        description="Stabilize a video file or frame directory (TPU-native "
+                    "DVSG pipeline).")
+    p.add_argument("--input", required=True,
+                   help="input video file or frame directory")
+    p.add_argument("--output", required=True,
+                   help="output video file or frame directory")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (from dvsg-train); identity model "
+                        "if omitted")
+    p.add_argument("--chunk-frames", type=int, default=16,
+                   help="frames per device step")
+    p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
+                   default="auto")
+    p.add_argument("--overlap", action="store_true",
+                   help="overlap host decode/encode with device compute")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu/tpu)")
+    p.add_argument("--metrics-out", default=None,
+                   help="append a JSONL metrics record here")
+    _add_model_args(p)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.models import motion_cnn
+    from dvsg_tpu.pipeline.stabilize import Stabilizer
+    from dvsg_tpu.utils import video_io
+    from dvsg_tpu.utils.metrics import StageTimer, write_metrics_jsonl
+
+    if args.checkpoint:
+        from dvsg_tpu.utils.checkpoint import load_checkpoint
+        params, mcfg, step = load_checkpoint(args.checkpoint)
+        print(f"loaded checkpoint step {step} from {args.checkpoint}")
+    else:
+        mcfg = _model_cfg(args)
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+        print("WARNING: no --checkpoint given; using an untrained "
+              "(identity) model", file=sys.stderr)
+
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
+                          warp_impl=args.warp_impl)
+    reader = video_io.VideoReader(args.input)
+    writer = video_io.VideoWriter(args.output, reader.width, reader.height,
+                                  reader.fps)
+    timer = StageTimer()
+    stab = Stabilizer(cfg, params)
+    t0 = time.perf_counter()
+    if args.overlap:
+        from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped
+        n = stabilize_stream_overlapped(stab, reader, writer, timer=timer)
+    else:
+        n = stab.stabilize_stream(reader, writer, timer=timer)
+    wall = time.perf_counter() - t0
+    reader.close()
+    writer.close()
+
+    fps = n / wall if wall > 0 else 0.0
+    print(f"stabilized {n} frames at {reader.width}x{reader.height} "
+          f"in {wall:.2f}s ({fps:.1f} fps)")
+    for name, s in timer.summary().items():
+        print(f"  {name:8s} total {s['total_s']:7.2f}s  "
+              f"mean {s['mean_ms']:7.2f}ms x{s['count']}")
+    if args.metrics_out:
+        write_metrics_jsonl(args.metrics_out, {
+            "kind": "stabilize", "frames": n, "wall_s": wall, "fps": fps,
+            "width": reader.width, "height": reader.height,
+            "warp_impl": cfg.warp_impl, "stages": timer.summary(),
+        })
+    return 0
+
+
+def train_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="dvsg-train",
+        description="Self-supervised training on synthetic-jitter clips.")
+    p.add_argument("--checkpoint", required=True, help="checkpoint out dir")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=2e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest step in --checkpoint")
+    _add_model_args(p)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from dvsg_tpu.config import TrainConfig
+    from dvsg_tpu.train import loop
+
+    cfg = TrainConfig(model=_model_cfg(args), steps=args.steps,
+                      batch_size=args.batch_size,
+                      learning_rate=args.learning_rate, seed=args.seed)
+    state = None
+    if args.resume:
+        from dvsg_tpu.utils.checkpoint import load_checkpoint
+        import jax.numpy as jnp
+        params, mcfg, step = load_checkpoint(args.checkpoint)
+        if mcfg != cfg.model:
+            print("ERROR: --resume config mismatch with checkpoint",
+                  file=sys.stderr)
+            return 2
+        opt = loop.make_optimizer(cfg)
+        state = loop.TrainState(params, opt.init(params),
+                                jnp.asarray(step, jnp.int32))
+        print(f"resuming from step {step}")
+    loop.train(cfg, checkpoint_dir=args.checkpoint, state=state)
+    print(f"saved checkpoint to {args.checkpoint}")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m dvsg_tpu.cli {stabilize|train} [args]\n"
+              "       see --help of each subcommand")
+        return 0 if argv else 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "stabilize":
+        return stabilize_main(rest)
+    if cmd == "train":
+        return train_main(rest)
+    print(f"unknown command {cmd!r}; expected stabilize|train",
+          file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,8 +71,10 @@ class TrainConfig:
     steps: int = 1000
     warmup_steps: int = 100
     pixel_weight: float = 1.0
+    offset_weight: float = 10.0   # direct regression to the known
+                                  # window-relative stabilizing offsets
     smooth_weight: float = 0.1    # temporal smoothness between frame grids
-    reg_weight: float = 0.01      # offset magnitude regularizer
+    reg_weight: float = 0.001     # offset magnitude regularizer
     seed: int = 0
     checkpoint_every: int = 200
 

@@ -1,0 +1,38 @@
+"""Warp dispatch: choose between the fused Pallas kernel and the lax oracle.
+
+``warp_impl``:
+  * ``"lax"``    — pure jax.lax oracle (ops/warp_ref.py), runs anywhere.
+  * ``"pallas"`` — fused gather-interpolate TPU kernel (ops/warp_pallas.py).
+  * ``"auto"``   — pallas on TPU backends, lax elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from dvsg_tpu.ops import warp_ref
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def resolve_impl(warp_impl: str) -> str:
+    if warp_impl == "auto":
+        return "pallas" if _on_tpu() else "lax"
+    if warp_impl not in ("lax", "pallas"):
+        raise ValueError(f"unknown warp_impl {warp_impl!r}")
+    return warp_impl
+
+
+def warp_batch(frames: jax.Array, grids: jax.Array,
+               warp_impl: str = "auto") -> jax.Array:
+    """frames (B, H, W, C) × grids (B, H, W, 2) → warped (B, H, W, C)."""
+    impl = resolve_impl(warp_impl)
+    if impl == "pallas":
+        from dvsg_tpu.ops import warp_pallas
+        return warp_pallas.bilinear_warp_batch(frames, grids)
+    return warp_ref.bilinear_warp_batch(frames, grids)

@@ -1,0 +1,171 @@
+"""Streaming stabilization pipeline: the device-side compute core.
+
+Replaces the reference's per-frame Python loop with two synchronous
+host↔device hops per frame (SURVEY.md §3.1; reference mount empty — citation
+unavailable) by a single jit-compiled program per T-frame chunk:
+
+    uint8 chunk → normalize → resize to model res → temporal window stack
+      → CNN offsets → dense grids → bilinear warp → uint8 chunk
+
+All intermediate state stays on device. Long videos stream in chunks of T
+frames carrying a (window-1)-frame model-resolution halo between chunks —
+the temporal analog of context-parallel halo exchange (SURVEY.md §5.7),
+giving O(T) HBM use for unbounded video length.
+
+Static shapes everywhere: the last partial chunk is padded to T by
+replicating its final frame and trimmed host-side, so XLA compiles exactly
+one program per (T, H, W) regardless of video length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvsg_tpu.config import StabilizeConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.ops import grid as grid_ops
+from dvsg_tpu.ops import warp as warp_ops
+from dvsg_tpu.utils import video_io
+from dvsg_tpu.utils.metrics import StageTimer
+
+
+def build_windows(seq: jax.Array, num_out: int, window: int) -> jax.Array:
+    """Stack sliding windows: seq (T+N-1, h, w, C) → (T, h, w, N*C).
+
+    Window for output t is seq[t : t+N] (causal over the carried halo).
+    Implemented as a static gather so XLA fuses it with the consumers.
+    """
+    t_idx = jnp.arange(num_out)[:, None]
+    n_idx = jnp.arange(window)[None, :]
+    win = seq[t_idx + n_idx]                       # (T, N, h, w, C)
+    t, n, h, w, c = win.shape
+    return jnp.transpose(win, (0, 2, 3, 1, 4)).reshape(t, h, w, n * c)
+
+
+def normalize_frames(frames_u8: jax.Array) -> jax.Array:
+    """uint8 [0,255] → f32 [0,1]; on-device (SURVEY.md §2.2)."""
+    return frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def quantize_frames(frames: jax.Array) -> jax.Array:
+    """f32 [0,1] → uint8, round-to-nearest; minimizes D2H bytes."""
+    return jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   donate_argnums=(2, 3))
+def stabilize_chunk(cfg: StabilizeConfig, params, frames_u8: jax.Array,
+                    halo: jax.Array) -> Tuple[jax.Array, jax.Array,
+                                              jax.Array]:
+    """One device step over a T-frame chunk.
+
+    Args:
+      cfg: static pipeline config (hashable dataclass).
+      params: CNN parameters.
+      frames_u8: (T, H, W, C) uint8 RGB chunk (donated).
+      halo: (window-1, hm, wm, C) f32 model-res history, centered at 0
+        (donated; returned updated for the next chunk).
+
+    Returns:
+      (stabilized_u8 (T, H, W, C), new_halo, offsets (T, gh, gw, 2)).
+    """
+    mcfg = cfg.model
+    t, h, w, _ = frames_u8.shape
+    mh, mw = mcfg.model_size
+
+    frames = normalize_frames(frames_u8)
+    small = jax.image.resize(frames, (t, mh, mw, mcfg.channels),
+                             method="bilinear") - 0.5
+    seq = jnp.concatenate([halo, small], axis=0)   # (T+N-1, mh, mw, C)
+    windows = build_windows(seq, t, mcfg.window)   # (T, mh, mw, N*C)
+
+    offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(o, h, w))(offsets)
+    warped = warp_ops.warp_batch(frames, grids, cfg.warp_impl)
+
+    new_halo = seq[t:]                              # last window-1 frames
+    return quantize_frames(warped), new_halo, offsets
+
+
+def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:
+    """Replicate-pad history for the start of a stream (SURVEY.md §4)."""
+    mcfg = cfg.model
+    mh, mw = mcfg.model_size
+    f = jnp.asarray(first_frame_u8, jnp.float32)[None] / 255.0
+    small = jax.image.resize(f, (1, mh, mw, mcfg.channels),
+                             method="bilinear") - 0.5
+    return jnp.tile(small, (mcfg.window - 1, 1, 1, 1))
+
+
+class Stabilizer:
+    """User-facing stabilization engine: arrays in, arrays out.
+
+    ``stabilize_clip`` handles a full in-memory clip; ``stabilize_stream``
+    drives a VideoReader→VideoWriter pair chunk by chunk.
+    """
+
+    def __init__(self, cfg: StabilizeConfig, params):
+        self.cfg = cfg
+        self.params = params
+
+    def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
+        """frames_u8 (T, H, W, C) uint8 → stabilized (T, H, W, C) uint8."""
+        total = frames_u8.shape[0]
+        if total == 0:
+            return frames_u8
+        halo = initial_halo(self.cfg, frames_u8[0])
+        t_chunk = self.cfg.chunk_frames
+        outs = []
+        for start in range(0, total, t_chunk):
+            chunk = frames_u8[start:start + t_chunk]
+            n_valid = chunk.shape[0]
+            if n_valid < t_chunk:  # pad to the static chunk shape
+                pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            out, halo, _ = stabilize_chunk(
+                self.cfg, self.params, jnp.asarray(chunk), halo)
+            outs.append(np.asarray(out[:n_valid]))
+        return np.concatenate(outs, axis=0)
+
+    def stabilize_stream(self, reader: video_io.VideoReader,
+                         writer: video_io.VideoWriter,
+                         timer: Optional[StageTimer] = None) -> int:
+        """Stream reader → writer; returns number of frames written.
+
+        Synchronous reference loop; the overlapped (double-buffered)
+        driver lives in dvsg_tpu/pipeline/overlap.py.
+        """
+        timer = timer or StageTimer()
+        t_chunk = self.cfg.chunk_frames
+        halo = None
+        written = 0
+        while True:
+            with timer.stage("decode"):
+                chunk = reader.read_batch(t_chunk)
+            n_valid = chunk.shape[0]
+            if n_valid == 0:
+                break
+            if halo is None:
+                halo = initial_halo(self.cfg, chunk[0])
+            if n_valid < t_chunk:
+                pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            with timer.stage("h2d"):
+                dev_chunk = jnp.asarray(chunk)
+            with timer.stage("compute"):
+                out, halo, _ = stabilize_chunk(
+                    self.cfg, self.params, dev_chunk, halo)
+                out.block_until_ready()
+            with timer.stage("d2h"):
+                host_out = np.asarray(out[:n_valid])
+            with timer.stage("encode"):
+                writer.write_batch(host_out)
+            written += n_valid
+            if n_valid < t_chunk:
+                break
+        return written

@@ -1,0 +1,161 @@
+"""Self-supervised training loop on synthetic-jitter clips.
+
+Loss (SURVEY.md §3.2): masked pixel L2 between the warped unstable frame
+and the ground-truth still, temporal smoothness between consecutive frame
+grids, and an offset-magnitude regularizer. The bilinear sampler is
+differentiable end-to-end (tests pin its grad against torch), so this is
+plain jax.grad + optax.
+
+All data is generated on device inside the jitted step — zero host input
+pipeline, which is the idiomatic TPU shape for procedural data.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dvsg_tpu.config import TrainConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.ops import grid as grid_ops
+from dvsg_tpu.ops.warp_ref import bilinear_warp
+from dvsg_tpu.pipeline.stabilize import build_windows
+from dvsg_tpu.train import synthetic
+
+# Consecutive windows per sample for the temporal-smoothness term.
+_STEPS_PER_CLIP = 2
+# Fraction of the border excluded from pixel loss (jitter makes the
+# outermost band unrecoverable under border-clamped sampling).
+_LOSS_BORDER = 0.125
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    warmup = min(cfg.warmup_steps, max(cfg.steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.learning_rate,
+        warmup_steps=warmup, decay_steps=max(cfg.steps, warmup + 1),
+        end_value=cfg.learning_rate * 0.05)
+    return optax.adamw(sched, weight_decay=cfg.weight_decay)
+
+
+def init_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
+    params = motion_cnn.init_params(cfg.model, rng)
+    opt = make_optimizer(cfg)
+    return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+
+def _sample_batch(key: jax.Array, cfg: TrainConfig):
+    """Render a batch of short synthetic clips at model resolution.
+
+    Per window (ending at frame t) the learnable target is the warp taking
+    frame t to the WINDOW-MEAN camera position (synthetic.stabilizing_theta)
+    — the still's absolute position is unobservable from a short window, so
+    supervision is window-relative, like a stabilizer's path smoothing.
+
+    Returns (windows (B,S,mh,mw,N*C), lasts (B,S,mh,mw,C),
+             target_frames (B,S,mh,mw,C), target_offsets (B,S,gh,gw,2))
+    with S = _STEPS_PER_CLIP.
+    """
+    mcfg = cfg.model
+    mh, mw = mcfg.model_size
+    gh, gw = mcfg.grid_size
+    n = mcfg.window
+    clip_len = n + _STEPS_PER_CLIP - 1
+
+    def one(k):
+        frames, still, path = synthetic.synthetic_clip(k, clip_len, mh, mw)
+        seq = frames - 0.5
+        wins = build_windows(seq, _STEPS_PER_CLIP, n)   # (S, mh, mw, N*C)
+        lasts = frames[n - 1:]                          # (S, mh, mw, C)
+
+        def targets(s):
+            window_path = jax.lax.dynamic_slice_in_dim(path, s, n, axis=0)
+            stab = synthetic.stabilizing_theta(window_path)
+            t_off = synthetic.theta_to_offsets(stab, gh, gw)
+            # out(p) = still(Ā p): the still seen from the mean camera pose
+            mean_theta = synthetic.jitter_theta(window_path.mean(axis=0))
+            t_frame = synthetic.bilinear_warp(
+                still, grid_ops.affine_grid(mean_theta, mh, mw))
+            return t_frame, t_off
+
+        t_frames, t_offs = jax.vmap(targets)(jnp.arange(_STEPS_PER_CLIP))
+        return wins, lasts, t_frames, t_offs
+
+    keys = jax.random.split(key, cfg.batch_size)
+    return jax.vmap(one)(keys)
+
+
+def loss_fn(params, key: jax.Array, cfg: TrainConfig):
+    mcfg = cfg.model
+    mh, mw = mcfg.model_size
+    windows, lasts, t_frames, t_offs = _sample_batch(key, cfg)
+    b, s = windows.shape[:2]
+
+    flat_w = windows.reshape((b * s,) + windows.shape[2:])
+    offsets = motion_cnn.predict_offsets(mcfg, params, flat_w)
+    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(o, mh, mw))(offsets)
+    flat_l = lasts.reshape((b * s,) + lasts.shape[2:])
+    warped = jax.vmap(bilinear_warp)(flat_l, grids)
+    warped = warped.reshape((b, s) + warped.shape[1:])
+
+    bh, bw = int(mh * _LOSS_BORDER), int(mw * _LOSS_BORDER)
+    diff = warped - t_frames
+    interior = diff[:, :, bh:mh - bh, bw:mw - bw, :]
+    pixel = jnp.mean(interior ** 2)
+
+    offs = offsets.reshape((b, s) + offsets.shape[1:])
+    offset_l2 = jnp.mean((offs - t_offs) ** 2)
+    smooth = jnp.mean((offs[:, 1:] - offs[:, :-1]) ** 2)
+    reg = jnp.mean(offsets ** 2)
+
+    total = (cfg.pixel_weight * pixel + cfg.offset_weight * offset_l2
+             + cfg.smooth_weight * smooth + cfg.reg_weight * reg)
+    aux = {"pixel": pixel, "offset": offset_l2, "smooth": smooth,
+           "reg": reg, "total": total}
+    return total, aux
+
+
+@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def train_step(state: TrainState, key: jax.Array, cfg: TrainConfig):
+    (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, key, cfg)
+    opt = make_optimizer(cfg)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), aux
+
+
+def train(cfg: TrainConfig, checkpoint_dir: Optional[str] = None,
+          log_every: int = 50, state: Optional[TrainState] = None,
+          print_fn=print) -> TrainState:
+    rng = jax.random.key(cfg.seed)
+    if state is None:
+        state = init_state(cfg, rng)
+    t0 = time.perf_counter()
+    for step in range(int(state.step), cfg.steps):
+        key = jax.random.fold_in(rng, step)
+        state, aux = train_step(state, key, cfg)
+        if log_every and (step % log_every == 0 or step == cfg.steps - 1):
+            aux = jax.device_get(aux)
+            print_fn(
+                f"step {step:5d}  pixel={aux['pixel']:.5f} "
+                f"offset={aux['offset']:.6f} smooth={aux['smooth']:.6f} "
+                f"reg={aux['reg']:.6f} ({time.perf_counter() - t0:.1f}s)")
+        if checkpoint_dir and cfg.checkpoint_every and (
+                (step + 1) % cfg.checkpoint_every == 0
+                or step == cfg.steps - 1):
+            from dvsg_tpu.utils import checkpoint as ckpt
+            ckpt.save_checkpoint(checkpoint_dir, jax.device_get(state.params),
+                                 cfg.model, step=step + 1)
+    return state

@@ -1,0 +1,126 @@
+"""Video I/O and CLI entry-point tests (config 2 plumbing; SURVEY.md §4).
+
+The CLI must preserve the reference's public surface: stabilize a video
+file OR a frame directory into stabilized output (BASELINE.json).
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from dvsg_tpu import cli
+from dvsg_tpu.train import synthetic
+from dvsg_tpu.utils import video_io
+from dvsg_tpu.utils.metrics import psnr
+
+
+@pytest.fixture(scope="module")
+def clip_u8():
+    frames, still, path = synthetic.synthetic_clip_u8(
+        jax.random.key(3), 10, 48, 64)
+    return np.asarray(frames), np.asarray(still)
+
+
+class TestFrameDirIO:
+    def test_roundtrip(self, tmp_path, clip_u8):
+        frames, _ = clip_u8
+        d = str(tmp_path / "frames")
+        with video_io.VideoWriter(d, 64, 48) as w:
+            w.write_batch(frames)
+        with video_io.VideoReader(d) as r:
+            assert r.num_frames == 10
+            assert r.shape == (48, 64)
+            back = r.read_batch(32)
+        np.testing.assert_array_equal(back, frames)  # png is lossless
+
+    def test_missing_input(self):
+        with pytest.raises(FileNotFoundError):
+            video_io.VideoReader("/nonexistent/path.mp4")
+
+    def test_empty_dir(self, tmp_path):
+        d = tmp_path / "empty"
+        d.mkdir()
+        with pytest.raises(FileNotFoundError):
+            video_io.VideoReader(str(d))
+
+
+class TestVideoFileIO:
+    def test_mp4_roundtrip(self, tmp_path, clip_u8):
+        frames, _ = clip_u8
+        p = str(tmp_path / "clip.mp4")
+        with video_io.VideoWriter(p, 64, 48, fps=24.0) as w:
+            w.write_batch(frames)
+        with video_io.VideoReader(p) as r:
+            assert r.shape == (48, 64)
+            assert abs(r.fps - 24.0) < 0.5
+            back = r.read_batch(32)
+        assert back.shape == frames.shape
+        # lossy codec: content preserved approximately
+        assert psnr(back, frames) > 28.0
+
+
+class TestCLI:
+    def test_stabilize_frame_dir(self, tmp_path, clip_u8):
+        frames, _ = clip_u8
+        src = str(tmp_path / "in")
+        dst = str(tmp_path / "out")
+        with video_io.VideoWriter(src, 64, 48) as w:
+            w.write_batch(frames)
+        rc = cli.stabilize_main([
+            "--input", src, "--output", dst,
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8", "--chunk-frames", "4",
+            "--warp-impl", "lax", "--platform", "cpu",
+            "--metrics-out", str(tmp_path / "m.jsonl"),
+        ])
+        assert rc == 0
+        with video_io.VideoReader(dst) as r:
+            out = r.read_batch(32)
+        assert out.shape == frames.shape
+        # untrained model == identity warp (±1 LSB from u8 quantization)
+        assert np.max(np.abs(out.astype(int) - frames.astype(int))) <= 1
+        assert os.path.exists(tmp_path / "m.jsonl")
+
+    def test_stabilize_overlapped_matches_sync(self, tmp_path, clip_u8):
+        """Overlapped driver must be output-identical to the sync loop
+        (SURVEY.md §5.2 determinism discipline)."""
+        frames, _ = clip_u8
+        src = str(tmp_path / "in2")
+        with video_io.VideoWriter(src, 64, 48) as w:
+            w.write_batch(frames)
+        args = ["--input", src, "--window", "3", "--model-size", "32", "32",
+                "--grid-size", "8", "8", "--chunk-frames", "4",
+                "--warp-impl", "lax", "--platform", "cpu"]
+        d_sync, d_ovl = str(tmp_path / "o_sync"), str(tmp_path / "o_ovl")
+        assert cli.stabilize_main(args + ["--output", d_sync]) == 0
+        assert cli.stabilize_main(args + ["--output", d_ovl,
+                                          "--overlap"]) == 0
+        with video_io.VideoReader(d_sync) as r:
+            a = r.read_batch(32)
+        with video_io.VideoReader(d_ovl) as r:
+            b = r.read_batch(32)
+        np.testing.assert_array_equal(a, b)
+
+    def test_train_then_stabilize_checkpoint(self, tmp_path, clip_u8):
+        frames, _ = clip_u8
+        ck = str(tmp_path / "ck")
+        rc = cli.train_main([
+            "--checkpoint", ck, "--steps", "2", "--batch-size", "2",
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8", "--platform", "cpu",
+        ])
+        assert rc == 0
+        src, dst = str(tmp_path / "in3"), str(tmp_path / "out3")
+        with video_io.VideoWriter(src, 64, 48) as w:
+            w.write_batch(frames)
+        rc = cli.stabilize_main(["--input", src, "--output", dst,
+                                 "--checkpoint", ck, "--chunk-frames", "4",
+                                 "--warp-impl", "lax", "--platform", "cpu"])
+        assert rc == 0
+        with video_io.VideoReader(dst) as r:
+            assert r.read_batch(32).shape == frames.shape
+
+    def test_unknown_command(self):
+        assert cli.main(["frobnicate"]) == 2

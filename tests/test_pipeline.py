@@ -1,0 +1,113 @@
+"""Streaming pipeline tests: windowing, chunk-halo carry, edge cases
+(SURVEY.md §4 rows "window stacker" and "Integration: config 2")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvsg_tpu.config import ModelConfig, StabilizeConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.pipeline.stabilize import (Stabilizer, build_windows,
+                                         initial_halo, stabilize_chunk)
+from dvsg_tpu.train import synthetic
+from dvsg_tpu.utils.metrics import psnr
+
+MCFG = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                   base_features=8, blocks_per_level=1)
+CFG = StabilizeConfig(model=MCFG, chunk_frames=4, warp_impl="lax")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return motion_cnn.init_params(MCFG, jax.random.key(0))
+
+
+class TestBuildWindows:
+    def test_semantics(self):
+        seq = jnp.arange(6, dtype=jnp.float32).reshape(6, 1, 1, 1)
+        seq = jnp.tile(seq, (1, 2, 2, 1))  # (6, 2, 2, 1)
+        win = build_windows(seq, num_out=4, window=3)
+        assert win.shape == (4, 2, 2, 3)
+        # window t = seq[t : t+3] stacked on channels
+        np.testing.assert_allclose(np.asarray(win[0, 0, 0]), [0, 1, 2])
+        np.testing.assert_allclose(np.asarray(win[3, 0, 0]), [3, 4, 5])
+
+
+class TestStabilizeClip:
+    def test_untrained_model_is_identity(self, params, rng):
+        frames = (rng.random((7, 40, 48, 3)) * 255).astype(np.uint8)
+        stab = Stabilizer(CFG, params)
+        out = stab.stabilize_clip(frames)
+        assert out.shape == frames.shape and out.dtype == np.uint8
+        # identity warp + u8 round-trip: off by at most 1 LSB
+        assert np.max(np.abs(out.astype(int) - frames.astype(int))) <= 1
+
+    def test_chunking_invariant(self, params, rng):
+        """Halo carry must make chunk size invisible in the output."""
+        frames = (rng.random((11, 32, 40, 3)) * 255).astype(np.uint8)
+        out_small = Stabilizer(CFG.replace(chunk_frames=2),
+                               params).stabilize_clip(frames)
+        out_big = Stabilizer(CFG.replace(chunk_frames=8),
+                             params).stabilize_clip(frames)
+        np.testing.assert_array_equal(out_small, out_big)
+
+    def test_video_shorter_than_window(self, params, rng):
+        frames = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+        out = Stabilizer(CFG, params).stabilize_clip(frames)
+        assert out.shape == frames.shape
+
+    def test_empty_clip(self, params):
+        frames = np.zeros((0, 32, 32, 3), np.uint8)
+        out = Stabilizer(CFG, params).stabilize_clip(frames)
+        assert out.shape == frames.shape
+
+    def test_initial_halo_replicates_first_frame(self, params, rng):
+        frame = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        halo = initial_halo(CFG, frame)
+        assert halo.shape == (MCFG.window - 1, 32, 32, 3)
+        np.testing.assert_allclose(np.asarray(halo[0]), np.asarray(halo[1]))
+
+
+class TestDeterminism:
+    def test_two_runs_bitwise_equal(self, params, rng):
+        """SURVEY.md §5.2: determinism gate against buffer-reuse races."""
+        frames = (rng.random((9, 32, 32, 3)) * 255).astype(np.uint8)
+        stab = Stabilizer(CFG, params)
+        np.testing.assert_array_equal(stab.stabilize_clip(frames),
+                                      stab.stabilize_clip(frames))
+
+
+class TestSyntheticFixture:
+    def test_clip_shapes_and_range(self):
+        frames, still, path = synthetic.synthetic_clip(
+            jax.random.key(1), 8, 48, 64)
+        assert frames.shape == (8, 48, 64, 3)
+        assert still.shape == (48, 64, 3)
+        assert path.shape == (8, 3)
+        f = np.asarray(frames)
+        assert f.min() >= 0.0 and f.max() <= 1.0
+        # jitter must actually move pixels
+        assert np.abs(f[0] - f[4]).max() > 0.05
+
+    def test_known_jitter_is_invertible(self):
+        """Warping a jittered frame by the inverse affine recovers the
+        still — the ground-truth construction the trained model must
+        learn (SURVEY.md §4 'key insight')."""
+        from dvsg_tpu.ops import grid as grid_ops
+        from dvsg_tpu.ops.warp_ref import bilinear_warp
+
+        frames, still, path = synthetic.synthetic_clip(
+            jax.random.key(2), 4, 64, 64)
+        t = 2
+        theta = synthetic.jitter_theta(path[t])
+        # invert the 2x3 affine in normalized coords
+        a = np.asarray(theta[:, :2])
+        b = np.asarray(theta[:, 2])
+        a_inv = np.linalg.inv(a)
+        theta_inv = np.concatenate([a_inv, (-a_inv @ b)[:, None]], axis=1)
+        g = grid_ops.affine_grid(jnp.asarray(theta_inv, jnp.float32), 64, 64)
+        rec = np.asarray(bilinear_warp(frames[t], g))
+        interior = (slice(10, -10), slice(10, -10))
+        p = psnr(rec[interior], np.asarray(still)[interior])
+        assert p > 32.0, f"inverse-jitter PSNR too low: {p:.1f} dB"
