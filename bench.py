@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Headline benchmark: 720p stabilized frames/sec/chip (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` is measured against a reference-style CPU pipeline run in
+this same process: a synchronous per-frame loop (decode-normalize-CNN-warp-
+fetch each frame individually, f32, lax warp) — the architecture SURVEY.md
+§3.1 attributes to the reference, since the reference mount is empty and
+records no published numbers (BASELINE.json "published": {}). The target is
+vs_baseline > 10.
+
+Extra detail (per-stage timings, warp-kernel µs/frame) goes to stderr and
+bench_detail.json; stdout carries exactly the one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _bench_chunked(cfg, params, frames_u8, n_iters=8):
+    """Steady-state device throughput: frames/sec over jitted chunks."""
+    import jax
+    import jax.numpy as jnp
+    from dvsg_tpu.pipeline.stabilize import initial_halo, stabilize_chunk
+
+    halo = initial_halo(cfg, frames_u8[0])
+    dev_frames = jax.device_put(jnp.asarray(frames_u8))
+    # warmup / compile
+    out, halo, _ = stabilize_chunk(cfg, params, dev_frames, halo)
+    out.block_until_ready()
+    dev_frames = jax.device_put(jnp.asarray(frames_u8))
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out, halo, _ = stabilize_chunk(
+            cfg, params, jax.device_put(jnp.asarray(frames_u8)), halo)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return (n_iters * frames_u8.shape[0]) / dt
+
+
+def _bench_reference_style_cpu(mcfg, h, w, n_frames=6):
+    """The reference's architecture: per-frame synchronous loop on CPU,
+    f32, framework warp, host round-trip every frame (SURVEY.md §3.1)."""
+    import jax
+    import jax.numpy as jnp
+    from dvsg_tpu.models import motion_cnn
+    from dvsg_tpu.ops import grid as grid_ops
+    from dvsg_tpu.ops.warp_ref import bilinear_warp
+
+    cpu = jax.devices("cpu")[0]
+    mh, mw = mcfg.model_size
+
+    with jax.default_device(cpu):
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+
+        @jax.jit
+        def one_frame(params, window_small, frame):
+            off = motion_cnn.predict_offsets(mcfg, params, window_small[None])
+            g = grid_ops.grid_from_offsets(off[0], h, w)
+            return bilinear_warp(frame, g)
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (n_frames, h, w, 3), np.uint8)
+        buf = []
+        # warmup
+        f32 = jnp.asarray(frames[0], jnp.float32) / 255.0
+        small = jax.image.resize(f32, (mh, mw, 3), "bilinear") - 0.5
+        win = jnp.concatenate([small] * mcfg.window, axis=-1)
+        np.asarray(one_frame(params, win, f32))
+
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            f32 = jnp.asarray(frames[i], jnp.float32) / 255.0  # h2d
+            small = jax.image.resize(f32, (mh, mw, 3), "bilinear") - 0.5
+            buf.append(small)
+            buf[:] = buf[-mcfg.window:]
+            pad = [buf[0]] * (mcfg.window - len(buf))
+            win = jnp.concatenate(pad + buf, axis=-1)
+            out = one_frame(params, win, f32)
+            np.asarray(out)                                     # d2h, sync
+        dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def _bench_warp_kernel(cfg, h, w, batch):
+    """Warp-only µs/frame on the default backend."""
+    import jax
+    import jax.numpy as jnp
+    from dvsg_tpu.ops import warp as warp_ops
+    from dvsg_tpu.ops import grid as grid_ops
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((batch, h, w, 3), np.float32))
+    base = grid_ops.identity_grid(h, w)
+    grids = jnp.asarray(base)[None] + jnp.asarray(
+        (rng.random((batch, h, w, 2)).astype(np.float32) - 0.5) * 0.05)
+
+    fn = jax.jit(lambda f, g: warp_ops.warp_batch(f, g, cfg.warp_impl))
+    fn(frames, grids).block_until_ready()
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(frames, grids)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt / (n_iters * batch) * 1e6
+
+
+def main():
+    import jax
+    from dvsg_tpu.config import ModelConfig, StabilizeConfig
+
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    log(f"backend={backend} devices={jax.devices()}")
+
+    h, w = 720, 1280
+    mcfg = ModelConfig(dtype="bfloat16" if on_tpu else "float32")
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=16, warp_impl="auto")
+
+    from dvsg_tpu.models import motion_cnn
+    params = motion_cnn.init_params(mcfg, jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (cfg.chunk_frames, h, w, 3), np.uint8)
+
+    fps = _bench_chunked(cfg, params, frames)
+    log(f"720p chunked throughput: {fps:.2f} frames/s/chip")
+
+    warp_us = _bench_warp_kernel(cfg, h, w, batch=4)
+    log(f"warp kernel: {warp_us:.1f} us/frame at 720p "
+        f"({warp_ops_name(cfg)} impl)")
+
+    cpu_fps = _bench_reference_style_cpu(
+        ModelConfig(dtype="float32"), h, w)
+    log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s")
+
+    detail = {
+        "backend": backend,
+        "fps_720p_per_chip": fps,
+        "warp_us_per_frame_720p": warp_us,
+        "reference_style_cpu_fps": cpu_fps,
+        "chunk_frames": cfg.chunk_frames,
+        "model_dtype": mcfg.dtype,
+        "warp_impl_resolved": warp_ops_name(cfg),
+    }
+    with open("bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=2)
+
+    print(json.dumps({
+        "metric": "720p_stabilized_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps > 0 else 0.0,
+    }))
+
+
+def warp_ops_name(cfg):
+    from dvsg_tpu.ops import warp as warp_ops
+    return warp_ops.resolve_impl(cfg.warp_impl)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Data-parallel execution: per-clip sharded stabilization and DP training.
+
+BASELINE.json config 5: "1080p long-video streaming stabilization sharded
+across v5e-8 with per-clip data parallelism". Steady-state inference needs
+ZERO inter-chip collectives (clips are independent); training gradients are
+psum'd automatically by GSPMD because params are replicated while the batch
+is sharded (SURVEY.md §2.3, §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvsg_tpu.config import StabilizeConfig, TrainConfig
+from dvsg_tpu.parallel.mesh import DATA_AXIS
+from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
+from dvsg_tpu.train import loop as train_loop
+
+
+# ---------------------------------------------------------------------------
+# Sharded batched stabilization (a batch of clips, one shard per device)
+# ---------------------------------------------------------------------------
+
+def _stabilize_chunk_batch(cfg: StabilizeConfig, params, frames_u8, halos):
+    """vmap of the single-clip chunk step over a leading clip axis.
+
+    frames_u8: (B, T, H, W, C) uint8; halos: (B, window-1, mh, mw, C) f32.
+    """
+    out, new_halos, offs = jax.vmap(
+        lambda f, h: stabilize_chunk_impl(cfg, params, f, h)
+    )(frames_u8, halos)
+    return out, new_halos, offs
+
+
+def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
+    """jit the batched chunk step with clips sharded over the data axis."""
+    clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))
+    clip_sharded_f = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        functools.partial(_stabilize_chunk_batch, cfg),
+        in_shardings=(repl, clip_sharded_u8, clip_sharded_f),
+        out_shardings=(clip_sharded_u8, clip_sharded_f, clip_sharded_f),
+    )
+
+
+class ShardedClipStabilizer:
+    """Stabilize a batch of equal-length clips, one mesh shard per clip
+    group. Host-side chunking mirrors pipeline.Stabilizer but over a
+    leading clip axis (BASELINE.json config 4/5 workload shape)."""
+
+    def __init__(self, cfg: StabilizeConfig, params, mesh: Mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.params = params
+        self._fn = make_sharded_chunk_fn(cfg, mesh)
+
+    def stabilize_clips(self, clips_u8: np.ndarray) -> np.ndarray:
+        """clips_u8 (B, T_total, H, W, C) uint8 → same-shape stabilized."""
+        from dvsg_tpu.pipeline.stabilize import initial_halo
+        b, total = clips_u8.shape[:2]
+        if b % self.mesh.devices.size:
+            raise ValueError(
+                f"clip batch {b} must divide evenly over "
+                f"{self.mesh.devices.size} devices")
+        halos = jnp.stack([
+            initial_halo(self.cfg, clips_u8[i, 0]) for i in range(b)])
+        t_chunk = self.cfg.chunk_frames
+        outs = []
+        for start in range(0, total, t_chunk):
+            chunk = clips_u8[:, start:start + t_chunk]
+            n_valid = chunk.shape[1]
+            if n_valid < t_chunk:
+                pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
+                chunk = np.concatenate([chunk, pad], axis=1)
+            out, halos, _ = self._fn(self.params, jnp.asarray(chunk), halos)
+            outs.append(np.asarray(out[:, :n_valid]))
+        return np.concatenate(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel training step
+# ---------------------------------------------------------------------------
+
+def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
+    """DP train step: params/opt-state replicated, per-sample key batch
+    sharded on ``data``. GSPMD inserts the gradient all-reduce.
+
+    Returns (step_fn, shard_keys) where step_fn(state, keys) → (state, aux)
+    and shard_keys places a (B,) key batch onto the mesh.
+    """
+    if cfg.batch_size % mesh.devices.size:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over "
+            f"{mesh.devices.size} devices")
+    repl = NamedSharding(mesh, P())
+    keys_sharded = NamedSharding(mesh, P(DATA_AXIS))
+
+    def _step(state, keys):
+        (_, aux), grads = jax.value_and_grad(
+            train_loop.loss_fn, has_aux=True)(state.params, keys, cfg)
+        opt = train_loop.make_optimizer(cfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        return train_loop.TrainState(params, opt_state, state.step + 1), aux
+
+    step_fn = jax.jit(
+        _step,
+        in_shardings=(repl, keys_sharded),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+    def shard_keys(key: jax.Array) -> jax.Array:
+        return jax.device_put(train_loop.batch_keys(key, cfg), keys_sharded)
+
+    return step_fn, shard_keys
+
+
+def replicate_state(state: train_loop.TrainState,
+                    mesh: Mesh) -> train_loop.TrainState:
+    repl = NamedSharding(mesh, P())
+    return jax.device_put(state, repl)

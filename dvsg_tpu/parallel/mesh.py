@@ -1,0 +1,67 @@
+"""Device mesh construction and sharding helpers (SURVEY.md §2.3, §5.8).
+
+The reference is single-process single-GPU; all scale-out here is new
+capability, expressed the TPU-native way: a ``jax.sharding.Mesh`` plus
+sharding annotations, with ALL collectives emitted by GSPMD/XLA over
+ICI — never hand-written transport.
+
+Axes:
+  * ``data``  — per-clip / per-sample data parallelism (configs 4-5).
+  * ``model`` — reserved tensor-parallel axis; the CNN is small enough
+    that TP is off by default, but conv channels stay shardable so
+    enabling it is a mesh-spec change, not a rewrite (SURVEY.md §2.3 TP).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Sequence[str] = (DATA_AXIS,),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a mesh over the available devices.
+
+    ``shape=None`` uses all devices on a single ``data`` axis. On a v5e-8
+    slice this is the per-clip DP mesh of BASELINE.json config 5.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_names[:len(shape)]))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading axis over ``data``, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bring-up: jax.distributed + GSPMD collectives over
+    ICI within a slice and DCN across slices (SURVEY.md §5.8).
+
+    Single-process runs (one host driving a v5e-8 slice) don't need this.
+    """
+    if coordinator is None:
+        return  # single-process
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)

@@ -57,11 +57,9 @@ def quantize_frames(frames: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(0,),
-                   donate_argnums=(2, 3))
-def stabilize_chunk(cfg: StabilizeConfig, params, frames_u8: jax.Array,
-                    halo: jax.Array) -> Tuple[jax.Array, jax.Array,
-                                              jax.Array]:
+def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
+                         halo: jax.Array) -> Tuple[jax.Array, jax.Array,
+                                                   jax.Array]:
     """One device step over a T-frame chunk.
 
     Args:
@@ -90,6 +88,10 @@ def stabilize_chunk(cfg: StabilizeConfig, params, frames_u8: jax.Array,
 
     new_halo = seq[t:]                              # last window-1 frames
     return quantize_frames(warped), new_halo, offsets
+
+
+stabilize_chunk = functools.partial(
+    jax.jit, static_argnums=(0,), donate_argnums=(2, 3))(stabilize_chunk_impl)
 
 
 def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:

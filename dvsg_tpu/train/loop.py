@@ -55,7 +55,7 @@ def init_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def _sample_batch(key: jax.Array, cfg: TrainConfig):
+def _sample_batch(keys: jax.Array, cfg: TrainConfig):
     """Render a batch of short synthetic clips at model resolution.
 
     Per window (ending at frame t) the learnable target is the warp taking
@@ -92,14 +92,22 @@ def _sample_batch(key: jax.Array, cfg: TrainConfig):
         t_frames, t_offs = jax.vmap(targets)(jnp.arange(_STEPS_PER_CLIP))
         return wins, lasts, t_frames, t_offs
 
-    keys = jax.random.split(key, cfg.batch_size)
     return jax.vmap(one)(keys)
 
 
-def loss_fn(params, key: jax.Array, cfg: TrainConfig):
+def batch_keys(key: jax.Array, cfg: TrainConfig) -> jax.Array:
+    """Per-sample key batch, shape (B,) — the data-parallel shard axis.
+
+    Sharding this array over the mesh "data" axis makes each device render
+    and train on its own slice of the batch (SURVEY.md §2.3 DP row).
+    """
+    return jax.random.split(key, cfg.batch_size)
+
+
+def loss_fn(params, keys: jax.Array, cfg: TrainConfig):
     mcfg = cfg.model
     mh, mw = mcfg.model_size
-    windows, lasts, t_frames, t_offs = _sample_batch(key, cfg)
+    windows, lasts, t_frames, t_offs = _sample_batch(keys, cfg)
     b, s = windows.shape[:2]
 
     flat_w = windows.reshape((b * s,) + windows.shape[2:])
@@ -128,8 +136,9 @@ def loss_fn(params, key: jax.Array, cfg: TrainConfig):
 
 @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
 def train_step(state: TrainState, key: jax.Array, cfg: TrainConfig):
+    keys = batch_keys(key, cfg)
     (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, key, cfg)
+        state.params, keys, cfg)
     opt = make_optimizer(cfg)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
