@@ -29,10 +29,25 @@ def resolve_impl(warp_impl: str) -> str:
 
 
 def warp_batch(frames: jax.Array, grids: jax.Array,
-               warp_impl: str = "auto") -> jax.Array:
-    """frames (B, H, W, C) × grids (B, H, W, 2) → warped (B, H, W, C)."""
+               warp_impl: str = "auto",
+               max_dx_px: int | None = None) -> jax.Array:
+    """frames (B, H, W, C) × grids (B, H, W, 2) → warped (B, H, W, C).
+
+    ``max_dx_px``: static bound on horizontal displacement in pixels —
+    sizes the Pallas kernel's stripe halo. Defaults to a conservative
+    half-frame bound (always correct, larger halo).
+    """
     impl = resolve_impl(warp_impl)
     if impl == "pallas":
         from dvsg_tpu.ops import warp_pallas
-        return warp_pallas.bilinear_warp_batch(frames, grids)
+        if max_dx_px is None:
+            max_dx_px = (grids.shape[2] - 1) // 2
+        return warp_pallas.bilinear_warp_batch(frames, grids,
+                                               max_dx_px=max_dx_px)
     return warp_ref.bilinear_warp_batch(frames, grids)
+
+
+def max_dx_px_for(max_offset_norm: float, width: int) -> int:
+    """Horizontal displacement bound (px) for a normalized offset bound."""
+    import math
+    return int(math.ceil(max_offset_norm * (width - 1) / 2.0)) + 1

@@ -84,7 +84,9 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
 
     offsets = motion_cnn.predict_offsets(mcfg, params, windows)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(o, h, w))(offsets)
-    warped = warp_ops.warp_batch(frames, grids, cfg.warp_impl)
+    warped = warp_ops.warp_batch(
+        frames, grids, cfg.warp_impl,
+        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w))
 
     new_halo = seq[t:]                              # last window-1 frames
     return quantize_frames(warped), new_halo, offsets
