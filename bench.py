@@ -26,24 +26,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _bench_chunked(cfg, params, frames_u8, n_iters=8):
-    """Steady-state device throughput: frames/sec over jitted chunks."""
+def _bench_chunked(cfg, params, frames_u8, n_iters=30):
+    """Steady-state device throughput: frames/sec over jitted chunks.
+
+    Device-resident chained steps (each chunk's halo feeds the next), one
+    final fetch — amortizes per-call dispatch latency, which dominates
+    small loops when the chip sits behind the axon tunnel. Host I/O
+    overlap is benchmarked separately by the streaming pipeline metrics.
+    """
+    import functools
     import jax
     import jax.numpy as jnp
-    from dvsg_tpu.pipeline.stabilize import initial_halo, stabilize_chunk
+    from dvsg_tpu.pipeline.stabilize import (initial_halo,
+                                             stabilize_chunk_impl)
 
+    step = jax.jit(functools.partial(stabilize_chunk_impl, cfg))
     halo = initial_halo(cfg, frames_u8[0])
     dev_frames = jax.device_put(jnp.asarray(frames_u8))
-    # warmup / compile
-    out, halo, _ = stabilize_chunk(cfg, params, dev_frames, halo)
-    out.block_until_ready()
-    dev_frames = jax.device_put(jnp.asarray(frames_u8))
+    out, halo, _ = step(params, dev_frames, halo)    # compile + warm
+    jax.block_until_ready((out, halo))
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out, halo, _ = stabilize_chunk(
-            cfg, params, jax.device_put(jnp.asarray(frames_u8)), halo)
-    out.block_until_ready()
+        out, halo, _ = step(params, dev_frames, halo)
+    # Force the full chain: fetch a value depending on the last output.
+    float(jnp.sum(out[0, ::97, ::97].astype(jnp.float32)))
+    jax.block_until_ready(halo)
     dt = time.perf_counter() - t0
     return (n_iters * frames_u8.shape[0]) / dt
 
@@ -117,7 +125,15 @@ def _bench_warp_kernel(cfg, h, w, batch):
 
 
 def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     from dvsg_tpu.config import ModelConfig, StabilizeConfig
 
     backend = jax.default_backend()

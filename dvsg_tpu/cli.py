@@ -37,6 +37,18 @@ def _model_cfg(args):
                        dtype=args.dtype)
 
 
+def _load_any_checkpoint(path):
+    """Load params+config from an orbax dir or a single-file .npz."""
+    from dvsg_tpu.utils import checkpoint as ckpt
+    if path.endswith(".npz"):
+        params, mcfg = ckpt.load_npz(path)
+        print(f"loaded npz checkpoint {path}")
+    else:
+        params, mcfg, step = ckpt.load_checkpoint(path)
+        print(f"loaded checkpoint step {step} from {path}")
+    return params, mcfg
+
+
 def stabilize_main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="dvsg-stabilize",
@@ -73,9 +85,7 @@ def stabilize_main(argv=None) -> int:
     from dvsg_tpu.utils.metrics import StageTimer, write_metrics_jsonl
 
     if args.checkpoint:
-        from dvsg_tpu.utils.checkpoint import load_checkpoint
-        params, mcfg, step = load_checkpoint(args.checkpoint)
-        print(f"loaded checkpoint step {step} from {args.checkpoint}")
+        params, mcfg = _load_any_checkpoint(args.checkpoint)
     else:
         mcfg = _model_cfg(args)
         params = motion_cnn.init_params(mcfg, jax.random.key(0))
@@ -157,10 +167,69 @@ def train_main(argv=None) -> int:
     return 0
 
 
+def eval_main(argv=None) -> int:
+    """Evaluate stabilization quality on synthetic-jitter ground truth
+    (SURVEY.md §4: reference-free PSNR gate)."""
+    p = argparse.ArgumentParser(
+        prog="dvsg-eval",
+        description="Evaluate a checkpoint on synthetic shaky clips.")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir; identity model if omitted")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--size", type=int, nargs=2, default=(480, 640),
+                   metavar=("H", "W"))
+    p.add_argument("--clips", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk-frames", type=int, default=16)
+    p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
+                   default="auto")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--metrics-out", default=None)
+    _add_model_args(p)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.models import motion_cnn
+    from dvsg_tpu.pipeline.stabilize import Stabilizer
+    from dvsg_tpu.train.eval import evaluate_synthetic
+    from dvsg_tpu.utils.metrics import write_metrics_jsonl
+
+    if args.checkpoint:
+        params, mcfg = _load_any_checkpoint(args.checkpoint)
+    else:
+        mcfg = _model_cfg(args)
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+        print("WARNING: evaluating an untrained (identity) model",
+              file=sys.stderr)
+
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
+                          warp_impl=args.warp_impl)
+    stab = Stabilizer(cfg, params)
+    h, w = args.size
+    agg = {}
+    for i in range(args.clips):
+        m = evaluate_synthetic(stab, jax.random.key(args.seed + i),
+                               args.frames, h, w)
+        print(f"clip {i}: " + "  ".join(f"{k}={v:.3f}"
+                                        for k, v in m.items()))
+        for k, v in m.items():
+            agg.setdefault(k, []).append(v)
+    mean = {k: float(np.mean(v)) for k, v in agg.items()}
+    print("mean:   " + "  ".join(f"{k}={v:.3f}" for k, v in mean.items()))
+    if args.metrics_out:
+        write_metrics_jsonl(args.metrics_out,
+                            {"kind": "eval_synthetic", **mean})
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: python -m dvsg_tpu.cli {stabilize|train} [args]\n"
+        print("usage: python -m dvsg_tpu.cli {stabilize|train|eval} [args]\n"
               "       see --help of each subcommand")
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
@@ -168,7 +237,9 @@ def main(argv=None) -> int:
         return stabilize_main(rest)
     if cmd == "train":
         return train_main(rest)
-    print(f"unknown command {cmd!r}; expected stabilize|train",
+    if cmd == "eval":
+        return eval_main(rest)
+    print(f"unknown command {cmd!r}; expected stabilize|train|eval",
           file=sys.stderr)
     return 2
 

@@ -10,22 +10,26 @@ Design (constraints discovered by probing Mosaic on v5e):
   * ``take_along_axis`` is supported only as a 2D, f32, lane-dimension
     gather on exactly-128-lane tiles, addressing within each 128-lane
     register row. Sublane-dimension gathers are unsupported.
-  * Therefore: process output tiles of (TILE_H, 128) per (batch, channel)
-    plane. HORIZONTAL sampling is exact via a 3-register decomposition —
-    the source row segment [c*128, c*128+384) is sliced into left/mid/right
-    registers, each lane-gathered at the pixel's local index and selected
-    by its register id; both bilinear x-neighbors are gathered. This covers
-    |x displacement| < 128 px (checked statically by the dispatcher).
+  * Output is processed in (tile_h, 128) tiles per (batch, channel) plane.
+    HORIZONTAL sampling is exact via a 3-stripe decomposition: for each
+    output column block, BlockSpec index maps driven by a SCALAR-PREFETCHED
+    per-(batch, column-block) stripe base select the three 128-column
+    stripes of the padded plane that cover the block's displaced source
+    columns. Each stripe is lane-gathered at the pixel's local index for
+    both bilinear x-neighbors and combined with stripe-id masks. The stripe
+    count is fixed at 3 (a 5-stripe variant hit a ~500x Mosaic slowdown);
+    the scalar base extends coverage to arbitrary |dx| instead, with the
+    contract that dx varies by < 126 px WITHIN one column block (true for
+    stabilization warps; ~10deg rotation at 720p).
   * VERTICAL sampling is exact and ADAPTIVE: the kernel computes the tile's
     residual row range [dmin, dmax] on the fly and runs a dynamic
     ``fori_loop`` over only the row candidates actually present, slicing a
-    (TILE_H, 384) band per candidate and accumulating masked bilinear
-    contributions. Smooth stabilization grids have tiny in-tile residuals,
-    so the loop is short; pathological grids stay correct, just slower.
-  * Frames are edge-padded by (TILE_H, 128) rows/cols outside the kernel so
-    border-clamped coordinates never clamp a slice (no duplicate-candidate
-    accounting), and the whole padded plane sits in VMEM (4.5 MB at 720p
-    f32; revisited blocks are not refetched across grid steps).
+    (tile_h, 128) band per candidate and accumulating masked bilinear
+    contributions. Arbitrary vertical displacement, cost scales with
+    in-tile variation only.
+  * Frames are edge-padded (replicate == border-clamp) so clamped coords
+    never clamp a kernel slice; stripes are pipelined per column block,
+    nothing plane-resident in VMEM.
 
 Semantics match ops/warp_ref.bilinear_warp exactly (same align_corners=True
 border-clamped bilinear), pinned by tests/test_warp_pallas.py on both the
@@ -41,38 +45,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8          # f32 sublane tile
+TILE_H = 32         # default output tile rows (multiple of 8; tunable —
+                    # larger tiles amortize per-grid-step overhead)
 TILE_W = 128        # lane width (hard TPU constraint for gathers)
+N_STRIPES = 3       # fixed: >3 stripes triggers a Mosaic pathologic path
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def stripes_for_max_dx(max_dx_px: int) -> int:
-    """Number of 128-column stripes covering |x displacement| <= max_dx_px."""
-    halo = _cdiv(max_dx_px + 2, TILE_W)   # +1 for x1, +1 safety
-    return 2 * halo + 1
+def _make_warp_kernel(tile_h: int):
+    """Kernel body; see module docstring for the decomposition."""
 
-
-def _make_warp_kernel(n_stripes: int):
-    """Kernel over (TILE_H, 128) output tiles of one (batch, chan) plane.
-
-    Args seen by the kernel:
-      y_ref/x_ref: (1, TILE_H, 128) f32 source coords in PADDED pixel space.
-      stripe refs (n_stripes of them): (1, 1, Hp, 128) — consecutive
-        128-column stripes of the padded plane centered on the tile's own
-        columns, selected by BlockSpec index maps (pipelined; nothing
-        plane-resident in VMEM).
-      out_ref: (1, 1, TILE_H, 128) f32.
-    """
-
-    def kernel(y_ref, x_ref, *refs):
-        stripes, out_ref = refs[:-1], refs[-1]
+    def kernel(sbase_ref, y_ref, x_ref, s0, s1, s2, out_ref):
+        b = pl.program_id(0)
         cb = pl.program_id(2)
         rt = pl.program_id(3)
+        stripes = (s0, s1, s2)
 
-        y = y_ref[0]                        # (TILE_H, 128)
+        y = y_ref[0]                        # (tile_h, 128)
         x = x_ref[0]
         y0 = jnp.floor(y)
         x0 = jnp.floor(x)
@@ -82,16 +74,17 @@ def _make_warp_kernel(n_stripes: int):
         x0i = x0.astype(jnp.int32)
 
         # Output row in padded space; vertical residual per pixel.
-        r0p = rt * TILE_H + TILE_H          # PAD_H == TILE_H
+        r0p = rt * tile_h + tile_h          # pad_h == tile_h
         row_p = (r0p
-                 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
+                 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0))
         resid = y0i - row_p
         dmin = jnp.min(resid)
         dmax = jnp.max(resid)
 
-        # Horizontal: stripe id and local lane index for both x-neighbors.
-        col_base = cb * TILE_W              # first stripe's start (padded)
-        lx0 = x0i - col_base                # in [0, n_stripes*128)
+        # Horizontal: stripe id and local lane index for both x-neighbors,
+        # relative to the scalar-prefetched first-stripe base.
+        col_base = sbase_ref[b, cb] * TILE_W
+        lx0 = x0i - col_base                # in [0, 384) by the contract
         lx1 = lx0 + 1
         reg0 = lx0 // TILE_W
         reg1 = lx1 // TILE_W
@@ -106,9 +99,9 @@ def _make_warp_kernel(n_stripes: int):
             wv = (jnp.where(resid == d, 1.0 - fy, 0.0)
                   + jnp.where(resid + 1 == d, fy, 0.0))
 
-            hval = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            for s in range(n_stripes):      # static stripe loop
-                seg = stripes[s][0, 0, pl.ds(r0p + d, TILE_H), :]
+            hval = jnp.zeros((tile_h, TILE_W), jnp.float32)
+            for s in range(N_STRIPES):      # static stripe loop
+                seg = stripes[s][0, 0, pl.ds(r0p + d, tile_h), :]
                 g0 = jnp.take_along_axis(
                     seg, jnp.where(reg0 == s, loc0, 0), axis=1)
                 g1 = jnp.take_along_axis(
@@ -118,7 +111,7 @@ def _make_warp_kernel(n_stripes: int):
             return acc + wv * hval
 
         acc = jax.lax.fori_loop(dmin, dmax + 2, candidate,
-                                jnp.zeros((TILE_H, TILE_W), jnp.float32))
+                                jnp.zeros((tile_h, TILE_W), jnp.float32))
         out_ref[0, 0] = acc
 
     return kernel
@@ -135,24 +128,26 @@ def _pad_to_multiple(arr, mult, axis):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_dx_px", "interpret"))
+                   static_argnames=("max_dx_px", "tile_h", "interpret"))
 def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
                         max_dx_px: int = 126,
+                        tile_h: int = TILE_H,
                         interpret: bool = False) -> jax.Array:
     """Fused warp: frames (B, H, W, C) × grids (B, Ho, Wo, 2) → (B, Ho, Wo, C).
 
     Drop-in for ops/warp_ref.bilinear_warp_batch. ``max_dx_px`` is the
     STATIC bound on horizontal displacement |x_src - x_out| the caller
     guarantees (the framework derives it from ModelConfig.max_offset); it
-    sizes the stripe halo. Vertical displacement is unbounded (adaptive
-    candidate loop).
+    only sizes the horizontal edge padding — coverage comes from per-block
+    scalar stripe bases, so it can be arbitrarily large. Contract: dx must
+    vary by < 126 px within any single 128-column block (all smooth
+    stabilization grids qualify). Vertical displacement is unbounded.
     """
     b, h, w, c = frames.shape
     _, ho, wo, _ = grids.shape
     orig_dtype = frames.dtype
-    n_stripes = stripes_for_max_dx(max_dx_px)
-    pad_w = TILE_W * (n_stripes // 2)
-    pad_h = TILE_H
+    pad_w = TILE_W * max(_cdiv(max_dx_px + 2, TILE_W), 1)
+    pad_h = tile_h
 
     # Planar layout: gathers want (rows, lanes) 2D tiles per channel plane.
     planes = jnp.transpose(frames.astype(jnp.float32), (0, 3, 1, 2))
@@ -162,9 +157,9 @@ def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
     # for tile alignment only.
     planes = jnp.pad(planes, ((0, 0), (0, 0), (pad_h, pad_h),
                               (pad_w, pad_w)), mode="edge")
-    planes = _pad_to_multiple(planes, TILE_H, 2)
+    planes = _pad_to_multiple(planes, tile_h, 2)
     planes = _pad_to_multiple(planes, TILE_W, 3)
-    hp = planes.shape[2]
+    hp, wp = planes.shape[2], planes.shape[3]
 
     # Source coords in padded pixel space, border-clamped like the oracle.
     x = (grids[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
@@ -173,38 +168,54 @@ def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
     y = jnp.clip(y, 0.0, h - 1) + pad_h
 
     # Pad the OUTPUT tiling (coords replicate; extra tiles are cropped).
-    y = _pad_to_multiple(_pad_to_multiple(y, TILE_H, 1), TILE_W, 2)
-    x = _pad_to_multiple(_pad_to_multiple(x, TILE_H, 1), TILE_W, 2)
+    y = _pad_to_multiple(_pad_to_multiple(y, tile_h, 1), TILE_W, 2)
+    x = _pad_to_multiple(_pad_to_multiple(x, tile_h, 1), TILE_W, 2)
     hop, wop = y.shape[1], y.shape[2]
+    n_cb = wop // TILE_W
+
+    # Per-(batch, column-block) first-stripe base, scalar-prefetched into
+    # the BlockSpec index maps: the mean source column's register minus one
+    # centers the 3-stripe window on the block's displaced source columns.
+    x_mean = x.reshape(b, hop, n_cb, TILE_W).mean(axis=(1, 3))
+    sbase = jnp.clip((x_mean // TILE_W).astype(jnp.int32) - 1,
+                     0, wp // TILE_W - N_STRIPES)
 
     # Grid order (b, c, cb, rt): the column stripes stay constant across
     # all row tiles of a column block, so Pallas fetches each stripe once
     # per (b, c, cb) and pipelines the fetches.
-    grid = (b, c, wop // TILE_W, hop // TILE_H)
-    coord_spec = pl.BlockSpec((1, TILE_H, TILE_W),
-                              lambda b_, c_, cb, r: (b_, r, cb),
+    grid = (b, c, n_cb, hop // tile_h)
+    coord_spec = pl.BlockSpec((1, tile_h, TILE_W),
+                              lambda b_, c_, cb, r, sref: (b_, r, cb),
                               memory_space=pltpu.VMEM)
 
     def stripe_spec(offset):
-        # Output tile cb covers padded columns
-        # [cb*128 + pad_w, cb*128 + pad_w + 128); stripes cb+0..cb+NS-1 in
-        # padded indexing center on it — always in range via the halo.
-        return pl.BlockSpec((1, 1, hp, TILE_W),
-                            lambda b_, c_, cb, r, o=offset: (b_, c_, 0,
-                                                             cb + o),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (1, 1, hp, TILE_W),
+            lambda b_, c_, cb, r, sref, o=offset: (b_, c_, 0,
+                                                   sref[b_, cb] + o),
+            memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        _make_warp_kernel(n_stripes),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[coord_spec, coord_spec,
-                  *(stripe_spec(o) for o in range(n_stripes))],
-        out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
-                               lambda b_, c_, cb, r: (b_, c_, r, cb),
+                  *(stripe_spec(o) for o in range(N_STRIPES))],
+        out_specs=pl.BlockSpec((1, 1, tile_h, TILE_W),
+                               lambda b_, c_, cb, r, sref: (b_, c_, r, cb),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _make_warp_kernel(tile_h),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, hop, wop), jnp.float32),
         interpret=interpret,
-    )(y, x, *([planes] * n_stripes))
+    )(sbase, y, x, *([planes] * N_STRIPES))
 
     out = out[:, :, :ho, :wo]
     return jnp.transpose(out, (0, 2, 3, 1)).astype(orig_dtype)
+
+
+def stripes_for_max_dx(max_dx_px: int) -> int:
+    """Kept for introspection/tests: the stripe count is always 3 now."""
+    del max_dx_px
+    return N_STRIPES

@@ -61,6 +61,53 @@ def load_checkpoint(path: str, step: Optional[int] = None
     return params, cfg, step
 
 
+def export_npz(path: str, params, cfg: ModelConfig):
+    """Compact single-file checkpoint (flattened pytree in an .npz).
+
+    Portable and git-committable — the in-repo pretrained weights live in
+    this format (checkpoints/*.npz); orbax remains the training-time
+    format.
+    """
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {}
+    for keypath, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        arrays[name] = np.asarray(leaf)
+    arrays["__config__"] = np.frombuffer(
+        config_to_json(cfg).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_npz(path: str):
+    """Load an export_npz checkpoint → (params, ModelConfig)."""
+    import numpy as np
+
+    with np.load(path) as data:
+        cfg = model_config_from_dict(
+            json.loads(bytes(data["__config__"].tobytes()).decode()))
+        flat = {k: data[k] for k in data.files if k != "__config__"}
+
+    from dvsg_tpu.models import motion_cnn
+    target = jax.eval_shape(
+        lambda: motion_cnn.init_params(cfg, jax.random.key(0)))
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(target)[0]
+    treedef = jax.tree_util.tree_structure(target)
+    leaves = []
+    for keypath, leaf in leaves_with_path:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        if name not in flat:
+            raise KeyError(f"checkpoint missing parameter {name}")
+        arr = flat[name]
+        if tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(f"shape mismatch for {name}: "
+                             f"{arr.shape} vs {leaf.shape}")
+        leaves.append(jax.numpy.asarray(arr, leaf.dtype))
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, cfg
+
+
 def save_resume_state(path: str, record: dict):
     with open(os.path.join(os.path.abspath(path), "resume.json"), "w") as f:
         json.dump(record, f)

@@ -56,11 +56,18 @@ class TestInterpretParity:
         frames, grids = _case(rng, 1, 32, 128, 0.1)
         _check(frames, grids * 3.0, max_dx_px=200)
 
-    def test_wider_halo_five_stripes(self, rng):
-        """max_dx_px > 126 selects a 5-stripe kernel."""
-        assert warp_pallas.stripes_for_max_dx(200) == 5
+    def test_wide_horizontal_displacement(self, rng):
+        """|dx| > 126 px is covered by scalar stripe bases (3 stripes)."""
+        assert warp_pallas.stripes_for_max_dx(200) == 3
         frames, grids = _case(rng, 1, 24, 384, 0.8)
         _check(frames, grids, max_dx_px=200)
+
+    def test_large_constant_shift(self, rng):
+        """A 300px constant horizontal shift — far beyond one stripe."""
+        frames = jnp.asarray(rng.random((1, 32, 512, 3), dtype=np.float32))
+        g = grid_ops.identity_grid(32, 512) + jnp.array(
+            [300 * 2.0 / 511, 0.0])
+        _check(frames, g[None], max_dx_px=310)
 
     def test_large_vertical_displacement(self, rng):
         """Vertical shifts are unbounded (adaptive candidate loop)."""
@@ -81,7 +88,7 @@ class TestInterpretParity:
     def test_dispatcher_max_dx(self):
         assert warp_dispatch.max_dx_px_for(0.2, 1280) == 129
         assert warp_pallas.stripes_for_max_dx(126) == 3
-        assert warp_pallas.stripes_for_max_dx(129) == 5
+        assert warp_pallas.stripes_for_max_dx(129) == 3
 
 
 @pytest.mark.tpu
