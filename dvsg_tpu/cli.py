@@ -71,6 +71,16 @@ def stabilize_main(argv=None) -> int:
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--metrics-out", default=None,
                    help="append a JSONL metrics record here")
+    p.add_argument("--border-crop", type=float, default=0.0,
+                   help="crop fraction zoomed into the warp (hides "
+                        "stabilized borders)")
+    p.add_argument("--resume-dir", default=None,
+                   help="flush resume state here each chunk; restart "
+                        "resumes at the last flushed chunk (frame-dir "
+                        "outputs only)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the steady-state "
+                        "loop into this dir and print an op summary")
     _add_model_args(p)
     args = p.parse_args(argv)
 
@@ -81,7 +91,7 @@ def stabilize_main(argv=None) -> int:
     from dvsg_tpu.config import StabilizeConfig
     from dvsg_tpu.models import motion_cnn
     from dvsg_tpu.pipeline.stabilize import Stabilizer
-    from dvsg_tpu.utils import video_io
+    from dvsg_tpu.utils import profiling, video_io
     from dvsg_tpu.utils.metrics import StageTimer, write_metrics_jsonl
 
     if args.checkpoint:
@@ -93,19 +103,28 @@ def stabilize_main(argv=None) -> int:
               "(identity) model", file=sys.stderr)
 
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
-                          warp_impl=args.warp_impl)
+                          warp_impl=args.warp_impl,
+                          border_crop=args.border_crop)
     reader = video_io.VideoReader(args.input)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)
     timer = StageTimer()
     stab = Stabilizer(cfg, params)
     t0 = time.perf_counter()
-    if args.overlap:
-        from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped
-        n = stabilize_stream_overlapped(stab, reader, writer, timer=timer)
-    else:
-        n = stab.stabilize_stream(reader, writer, timer=timer)
+    with profiling.trace(args.profile_dir):
+        if args.overlap:
+            from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped
+            n = stabilize_stream_overlapped(stab, reader, writer,
+                                            timer=timer)
+        else:
+            n = stab.stabilize_stream(reader, writer, timer=timer,
+                                      resume_dir=args.resume_dir)
     wall = time.perf_counter() - t0
+    if args.profile_dir:
+        summary = profiling.summarize_trace(args.profile_dir)
+        for name, rec in list(summary.items())[:8]:
+            print(f"  [profile] {rec['mean_ms']:8.2f} ms x{rec['count']:3d} "
+                  f"{name[:60]}")
     reader.close()
     writer.close()
 
@@ -164,6 +183,82 @@ def train_main(argv=None) -> int:
         print(f"resuming from step {step}")
     loop.train(cfg, checkpoint_dir=args.checkpoint, state=state)
     print(f"saved checkpoint to {args.checkpoint}")
+    return 0
+
+
+def stabilize_batch_main(argv=None) -> int:
+    """Batched multi-clip stabilization (BASELINE.json configs 4-5):
+    N clips in one device program per chunk, per-clip data parallel over
+    the mesh when multiple devices are available."""
+    p = argparse.ArgumentParser(
+        prog="dvsg-stabilize-batch",
+        description="Stabilize a batch of clips concurrently.")
+    p.add_argument("--inputs", nargs="+", required=True)
+    p.add_argument("--outputs", nargs="+", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--chunk-frames", type=int, default=16)
+    p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
+                   default="auto")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="disable data-parallel sharding even with >1 device")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--metrics-out", default=None)
+    _add_model_args(p)
+    args = p.parse_args(argv)
+    if len(args.inputs) != len(args.outputs):
+        print("ERROR: --inputs and --outputs must pair up", file=sys.stderr)
+        return 2
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.models import motion_cnn
+    from dvsg_tpu.parallel import mesh as mesh_lib
+    from dvsg_tpu.pipeline.multiclip import stabilize_multi
+    from dvsg_tpu.utils import video_io
+    from dvsg_tpu.utils.metrics import StageTimer, write_metrics_jsonl
+
+    if args.checkpoint:
+        params, mcfg = _load_any_checkpoint(args.checkpoint)
+    else:
+        mcfg = _model_cfg(args)
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+        print("WARNING: no --checkpoint given; using an untrained "
+              "(identity) model", file=sys.stderr)
+
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
+                          warp_impl=args.warp_impl)
+    n_dev = len(jax.devices())
+    mesh = None
+    if not args.no_mesh and n_dev > 1 and len(args.inputs) % n_dev == 0:
+        mesh = mesh_lib.make_mesh()
+        print(f"per-clip DP over {n_dev} devices")
+
+    readers = [video_io.VideoReader(p_) for p_ in args.inputs]
+    h, w = readers[0].shape
+    writers = [video_io.VideoWriter(p_, w, h, readers[i].fps)
+               for i, p_ in enumerate(args.outputs)]
+    timer = StageTimer()
+    t0 = time.perf_counter()
+    written = stabilize_multi(cfg, params, readers, writers, mesh=mesh,
+                              timer=timer)
+    wall = time.perf_counter() - t0
+    for r in readers:
+        r.close()
+    for w_ in writers:
+        w_.close()
+    total = sum(written)
+    fps = total / wall if wall else 0.0
+    print(f"stabilized {len(written)} clips / {total} frames in "
+          f"{wall:.2f}s ({fps:.1f} frames/s aggregate)")
+    if args.metrics_out:
+        write_metrics_jsonl(args.metrics_out, {
+            "kind": "stabilize_batch", "clips": len(written),
+            "frames": total, "wall_s": wall, "fps": fps,
+            "devices": n_dev, "mesh": mesh is not None,
+        })
     return 0
 
 
@@ -235,12 +330,14 @@ def main(argv=None) -> int:
     cmd, rest = argv[0], argv[1:]
     if cmd == "stabilize":
         return stabilize_main(rest)
+    if cmd == "stabilize-batch":
+        return stabilize_batch_main(rest)
     if cmd == "train":
         return train_main(rest)
     if cmd == "eval":
         return eval_main(rest)
-    print(f"unknown command {cmd!r}; expected stabilize|train|eval",
-          file=sys.stderr)
+    print(f"unknown command {cmd!r}; expected "
+          "stabilize|stabilize-batch|train|eval", file=sys.stderr)
     return 2
 
 

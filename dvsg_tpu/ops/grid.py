@@ -39,10 +39,17 @@ def upsample_offsets(offsets: jax.Array, height: int, width: int) -> jax.Array:
     return jax.image.resize(offsets, out_shape, method="bilinear")
 
 
-def grid_from_offsets(offsets: jax.Array, height: int, width: int) -> jax.Array:
-    """Full-resolution sampling grid from coarse offsets: identity + upsample."""
+def grid_from_offsets(offsets: jax.Array, height: int, width: int,
+                      border_crop: float = 0.0) -> jax.Array:
+    """Full-resolution sampling grid from coarse offsets: identity + upsample.
+
+    ``border_crop``: fraction of each border hidden by zooming the sampling
+    grid toward the center (scale identity by 1-2*crop) — the standard
+    stabilized-border crop, folded into the same warp for free.
+    """
     dense = upsample_offsets(offsets.astype(jnp.float32), height, width)
-    return identity_grid(height, width) + dense
+    scale = 1.0 - 2.0 * border_crop
+    return identity_grid(height, width) * scale + dense
 
 
 def grid_to_pixel_coords(grid: jax.Array, height: int, width: int):

@@ -83,7 +83,8 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     windows = build_windows(seq, t, mcfg.window)   # (T, mh, mw, N*C)
 
     offsets = motion_cnn.predict_offsets(mcfg, params, windows)
-    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(o, h, w))(offsets)
+    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+        o, h, w, border_crop=cfg.border_crop))(offsets)
     warped = warp_ops.warp_batch(
         frames, grids, cfg.warp_impl,
         max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w))
@@ -138,16 +139,38 @@ class Stabilizer:
 
     def stabilize_stream(self, reader: video_io.VideoReader,
                          writer: video_io.VideoWriter,
-                         timer: Optional[StageTimer] = None) -> int:
+                         timer: Optional[StageTimer] = None,
+                         resume_dir: Optional[str] = None) -> int:
         """Stream reader → writer; returns number of frames written.
 
         Synchronous reference loop; the overlapped (double-buffered)
         driver lives in dvsg_tpu/pipeline/overlap.py.
+
+        ``resume_dir``: if given, a resume record (frames written + the
+        streaming halo) is flushed at every chunk boundary, and an
+        interrupted job restarts from the last flushed chunk
+        (SURVEY.md §5.3). Requires a frame-directory output.
         """
         timer = timer or StageTimer()
         t_chunk = self.cfg.chunk_frames
         halo = None
         written = 0
+        if resume_dir:
+            import os
+            from dvsg_tpu.utils import checkpoint as ckpt
+            os.makedirs(resume_dir, exist_ok=True)
+            state = ckpt.load_resume_state(resume_dir)
+            halo_path = os.path.join(resume_dir, "halo.npz")
+            if state and state.get("frames_written", 0) > 0 \
+                    and os.path.exists(halo_path):
+                written = int(state["frames_written"])
+                skipped = reader.skip(written)
+                if skipped != written:
+                    raise ValueError(
+                        f"resume record says {written} frames but input "
+                        f"only has {skipped} to skip")
+                writer.seek(written)
+                halo = jnp.asarray(np.load(halo_path)["halo"])
         while True:
             with timer.stage("decode"):
                 chunk = reader.read_batch(t_chunk)
@@ -170,6 +193,11 @@ class Stabilizer:
             with timer.stage("encode"):
                 writer.write_batch(host_out)
             written += n_valid
+            if resume_dir:
+                from dvsg_tpu.utils import checkpoint as ckpt
+                np.savez(halo_path, halo=np.asarray(halo))
+                ckpt.save_resume_state(resume_dir,
+                                       {"frames_written": written})
             if n_valid < t_chunk:
                 break
         return written

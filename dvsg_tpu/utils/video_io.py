@@ -128,6 +128,20 @@ class VideoReader:
             t = i + 1
         return out[:t]
 
+    def skip(self, n: int) -> int:
+        """Skip forward n frames (for streaming resume); returns skipped."""
+        if self._frames is not None:
+            skipped = min(n, len(self._frames) - self._pos)
+            self._pos += skipped
+            return skipped
+        skipped = 0
+        for _ in range(n):
+            if not self._cap.grab():
+                break
+            skipped += 1
+        self._pos += skipped
+        return skipped
+
     def close(self):
         if self._cap is not None:
             self._cap.release()
@@ -163,6 +177,19 @@ class VideoWriter:
             self._writer = None
             self._dir = path
             os.makedirs(path, exist_ok=True)
+
+    @property
+    def appendable(self) -> bool:
+        """Frame-dir outputs can resume mid-stream; containers cannot."""
+        return self._dir is not None
+
+    def seek(self, frame_index: int):
+        """Position the writer for resume (frame-dir outputs only)."""
+        if not self.appendable:
+            raise ValueError(
+                "cannot resume into a video container; use a frame "
+                "directory output for resumable jobs")
+        self._pos = frame_index
 
     def write(self, frame: np.ndarray):
         """frame: (H, W, 3) uint8 RGB."""
