@@ -33,6 +33,9 @@ class ModelConfig:
     max_offset: float = 0.2               # max |offset| in normalized units
     channels: int = 3                     # input channels per frame
     dtype: str = "float32"                # compute dtype: float32 | bfloat16
+    arch: str = "corr"                    # corr (cost-volume) | stacked
+    corr_radius: int = 3                  # cost-volume displacement radius
+                                          # (in coarse-grid cells)
 
     def __post_init__(self):
         gh, gw = self.grid_size

@@ -51,17 +51,126 @@ class ResBlock(nn.Module):
         return nn.gelu(x + h)
 
 
+class FrameEncoder(nn.Module):
+    """Siamese per-frame encoder: (B, Hm, Wm, C) → (B, gh, gw, F).
+
+    Shared across all window frames so correlation volumes compare features
+    in one embedding space (PWC-style cost-volume motion estimation)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, frame: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        mh, mw = cfg.model_size
+        gh, gw = cfg.grid_size
+        x = frame.astype(dt)
+        feats = cfg.base_features
+        x = nn.Conv(feats, (7, 7), padding="SAME", dtype=dt, name="stem")(x)
+        x = nn.gelu(x)
+        down = 1
+        level = 0
+        while (mh // down, mw // down) != (gh, gw) and level < cfg.levels * 2:
+            feats = min(feats * 2, 256)
+            x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=dt, name=f"down{level}")(x)
+            x = nn.gelu(x)
+            for b in range(cfg.blocks_per_level):
+                x = ResBlock(feats, dtype=dt, name=f"res{level}_{b}")(x)
+            down *= 2
+            level += 1
+        if (mh // down, mw // down) != (gh, gw):
+            raise ValueError(
+                f"cannot reach grid_size {cfg.grid_size} from "
+                f"model_size {cfg.model_size} by stride-2 stages")
+        return x
+
+
+def _correlation_volume(ref: jax.Array, other: jax.Array,
+                        radius: int) -> jax.Array:
+    """Local cost volume: per-cell dot products over shifted alignments.
+
+    ref/other: (B, gh, gw, F) features. Returns (B, gh, gw, (2r+1)^2)
+    normalized correlations — motion becomes a first-class input feature
+    instead of something convs must learn to compute implicitly. The shift
+    loop is static and each term is an MXU-friendly contraction.
+    """
+    b, gh, gw, f = ref.shape
+    scale = float(f) ** -0.5
+    pad = jnp.pad(other, ((0, 0), (radius, radius), (radius, radius),
+                          (0, 0)))
+    vols = []
+    for dy in range(2 * radius + 1):
+        for dx in range(2 * radius + 1):
+            shifted = jax.lax.dynamic_slice(
+                pad, (0, dy, dx, 0), (b, gh, gw, f))
+            vols.append(jnp.sum(ref * shifted, axis=-1) * scale)
+    return jnp.stack(vols, axis=-1)
+
+
 class MotionEstimator(nn.Module):
     """Window of stacked frames → coarse normalized warp offsets.
 
     Input:  (B, Hm, Wm, window * channels), values roughly in [-0.5, 0.5].
     Output: (B, gh, gw, 2) offsets in normalized grid units, |off| <= max_offset.
+
+    Two architectures (cfg.arch):
+      * "corr" (default): siamese per-frame encoder + PWC-style local
+        correlation volumes of every window frame against the LAST frame
+        (the one being stabilized), concatenated with the reference
+        features into a small regression head. Motion is explicit in the
+        input to the head, which is what makes the stabilizing offsets
+        learnable in practice.
+      * "stacked": legacy single conv stack over channel-stacked frames.
     """
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, window: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        if cfg.arch == "corr":
+            return self._corr_forward(window)
+        return self._stacked_forward(window)
+
+    def _corr_forward(self, window: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        mh, mw = cfg.model_size
+        n = cfg.window
+        c = cfg.channels
+        b = window.shape[0]
+        if window.shape[-3:] != (mh, mw, n * c):
+            raise ValueError(
+                f"expected window (*, {mh}, {mw}, {n * c}), "
+                f"got {window.shape}")
+
+        frames = window.reshape(b, mh, mw, n, c)
+        encoder = FrameEncoder(self.cfg, name="encoder")
+        # One batched encoder pass over all window frames (shared weights).
+        flat = jnp.transpose(frames, (0, 3, 1, 2, 4)).reshape(
+            b * n, mh, mw, c)
+        feats = encoder(flat)
+        gh, gw = cfg.grid_size
+        feats = feats.reshape(b, n, gh, gw, -1)
+        ref = feats[:, -1]                     # the frame being stabilized
+
+        vols = [_correlation_volume(ref, feats[:, k], cfg.corr_radius)
+                for k in range(n - 1)]
+        x = jnp.concatenate(vols + [ref.astype(jnp.float32)], axis=-1)
+
+        x = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
+                    name="head_conv1")(x.astype(jnp.float32))
+        x = nn.gelu(x)
+        x = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
+                    name="head_conv2")(x)
+        x = nn.gelu(x)
+        off = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                      kernel_init=nn.initializers.zeros,
+                      name="head_out")(x)
+        return jnp.tanh(off) * cfg.max_offset
+
+    def _stacked_forward(self, window: jax.Array) -> jax.Array:
         cfg = self.cfg
         dt = _dtype(cfg)
         mh, mw = cfg.model_size
