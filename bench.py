@@ -176,11 +176,17 @@ def main():
         ModelConfig(dtype="float32"), h, w)
     log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s")
 
+    host_io = _bench_host_io(h, w)
+    log(f"host mp4 I/O: encode {host_io['encode_fps']:.1f} fps, "
+        f"decode {host_io['decode_fps']:.1f} fps "
+        f"({host_io['cores']} cores)")
+
     detail = {
         "backend": backend,
         "fps_720p_per_chip": fps,
         "warp_us_per_frame_720p": warp_us,
         "reference_style_cpu_fps": cpu_fps,
+        "host_io": host_io,
         "chunk_frames": cfg.chunk_frames,
         "model_dtype": mcfg.dtype,
         "warp_impl_resolved": warp_ops_name(cfg),
@@ -194,6 +200,30 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps > 0 else 0.0,
     }))
+
+
+def _bench_host_io(h, w, n_frames=30):
+    """Host container encode/decode throughput (the system-level bound on
+    a small host; scales with cores + clip parallelism on real hosts)."""
+    import os
+    import tempfile
+
+    from dvsg_tpu.utils import video_io
+
+    rng = np.random.default_rng(0)
+    frames = (rng.random((n_frames, h, w, 3)) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "io.mp4")
+        t0 = time.perf_counter()
+        with video_io.VideoWriter(p, w, h, fps=30) as wtr:
+            wtr.write_batch(frames)
+        enc = n_frames / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        with video_io.VideoReader(p) as r:
+            n = r.read_batch(n_frames).shape[0]
+        dec = n / (time.perf_counter() - t0)
+    return {"encode_fps": enc, "decode_fps": dec,
+            "cores": os.cpu_count() or 1}
 
 
 def warp_ops_name(cfg):

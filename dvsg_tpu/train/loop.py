@@ -63,36 +63,60 @@ def _sample_batch(keys: jax.Array, cfg: TrainConfig):
     — the still's absolute position is unobservable from a short window, so
     supervision is window-relative, like a stabilizer's path smoothing.
 
+    All data-gen warps are flattened into ONE batched call routed through
+    the fused Pallas kernel on TPU (XLA's gather lowering made data gen
+    dominate the train step); everything here is data, so the whole batch
+    is stop-gradient'd — gradients never touch the (VJP-less) kernel.
+
     Returns (windows (B,S,mh,mw,N*C), lasts (B,S,mh,mw,C),
              target_frames (B,S,mh,mw,C), target_offsets (B,S,gh,gw,2))
     with S = _STEPS_PER_CLIP.
     """
+    from dvsg_tpu.ops import warp as warp_ops
+
     mcfg = cfg.model
     mh, mw = mcfg.model_size
     gh, gw = mcfg.grid_size
     n = mcfg.window
-    clip_len = n + _STEPS_PER_CLIP - 1
+    s_steps = _STEPS_PER_CLIP
+    clip_len = n + s_steps - 1
+    b = keys.shape[0]
 
-    def one(k):
-        frames, still, path = synthetic.synthetic_clip(k, clip_len, mh, mw)
-        seq = frames - 0.5
-        wins = build_windows(seq, _STEPS_PER_CLIP, n)   # (S, mh, mw, N*C)
-        lasts = frames[n - 1:]                          # (S, mh, mw, C)
+    k_img = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    k_path = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    stills = jax.vmap(
+        lambda k: synthetic.random_still(k, mh, mw))(k_img)      # (B,mh,mw,C)
+    paths = jax.vmap(
+        lambda k: synthetic.random_camera_path(k, clip_len))(k_path)
 
-        def targets(s):
-            window_path = jax.lax.dynamic_slice_in_dim(path, s, n, axis=0)
-            stab = synthetic.stabilizing_theta(window_path)
-            t_off = synthetic.theta_to_offsets(stab, gh, gw)
-            # out(p) = still(Ā p): the still seen from the mean camera pose
-            mean_theta = synthetic.jitter_theta(window_path.mean(axis=0))
-            t_frame = synthetic.bilinear_warp(
-                still, grid_ops.affine_grid(mean_theta, mh, mw))
-            return t_frame, t_off
+    # Window-mean poses and ground-truth stabilizing offsets per step.
+    win_paths = jnp.stack([paths[:, s:s + n] for s in range(s_steps)],
+                          axis=1)                                # (B,S,n,3)
+    mean_params = win_paths.mean(axis=2)                         # (B,S,3)
+    t_offs = jax.vmap(jax.vmap(lambda wp: synthetic.theta_to_offsets(
+        synthetic.stabilizing_theta(wp), gh, gw)))(win_paths)
 
-        t_frames, t_offs = jax.vmap(targets)(jnp.arange(_STEPS_PER_CLIP))
-        return wins, lasts, t_frames, t_offs
+    # ONE flattened warp for all jittered frames + all target frames.
+    jit_thetas = jax.vmap(jax.vmap(synthetic.jitter_theta))(paths)
+    tgt_thetas = jax.vmap(jax.vmap(synthetic.jitter_theta))(mean_params)
+    all_thetas = jnp.concatenate(
+        [jit_thetas.reshape(-1, 2, 3), tgt_thetas.reshape(-1, 2, 3)])
+    all_grids = jax.vmap(
+        lambda t: grid_ops.affine_grid(t, mh, mw))(all_thetas)
+    src = jnp.concatenate([
+        jnp.repeat(stills, clip_len, axis=0),
+        jnp.repeat(stills, s_steps, axis=0)])
+    warped = warp_ops.warp_batch(
+        src, all_grids, "auto",
+        max_dx_px=warp_ops.max_dx_px_for(0.25, mw))
+    frames = warped[:b * clip_len].reshape(b, clip_len, mh, mw, -1)
+    t_frames = warped[b * clip_len:].reshape(b, s_steps, mh, mw, -1)
 
-    return jax.vmap(one)(keys)
+    wins = jax.vmap(
+        lambda f: build_windows(f - 0.5, s_steps, n))(frames)
+    lasts = frames[:, n - 1:]
+
+    return jax.lax.stop_gradient((wins, lasts, t_frames, t_offs))
 
 
 def batch_keys(key: jax.Array, cfg: TrainConfig) -> jax.Array:
