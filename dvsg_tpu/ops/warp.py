@@ -47,6 +47,24 @@ def warp_batch(frames: jax.Array, grids: jax.Array,
     return warp_ref.bilinear_warp_batch(frames, grids)
 
 
+def warp_batch_diff(frames: jax.Array, grids: jax.Array,
+                    warp_impl: str = "auto",
+                    max_dx_px: int | None = None) -> jax.Array:
+    """Training-path warp: differentiable w.r.t. GRIDS (frames constant).
+
+    Pallas (grid-only custom VJP) on TPU, full-autodiff lax oracle
+    elsewhere. Callers must not rely on frame gradients through this op.
+    """
+    impl = resolve_impl(warp_impl)
+    if impl == "pallas":
+        from dvsg_tpu.ops import warp_pallas
+        if max_dx_px is None:
+            max_dx_px = (grids.shape[2] - 1) // 2
+        return warp_pallas.bilinear_warp_batch_grids_diff(
+            frames, grids, max_dx_px)
+    return warp_ref.bilinear_warp_batch(frames, grids)
+
+
 def max_dx_px_for(max_offset_norm: float, width: int) -> int:
     """Horizontal displacement bound (px) for a normalized offset bound."""
     import math

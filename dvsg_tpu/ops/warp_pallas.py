@@ -117,6 +117,76 @@ def _make_warp_kernel(tile_h: int):
     return kernel
 
 
+def _make_warp_grad_kernel(tile_h: int):
+    """Like _make_warp_kernel but also emits ∂out/∂x and ∂out/∂y (pixel
+    units) from the same gathers — residuals for the grid-only VJP."""
+
+    def kernel(sbase_ref, y_ref, x_ref, s0, s1, s2,
+               out_ref, dx_ref, dy_ref):
+        b = pl.program_id(0)
+        cb = pl.program_id(2)
+        rt = pl.program_id(3)
+        stripes = (s0, s1, s2)
+
+        y = y_ref[0]
+        x = x_ref[0]
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        fy = y - y0
+        fx = x - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+
+        r0p = rt * tile_h + tile_h
+        row_p = (r0p
+                 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0))
+        resid = y0i - row_p
+        dmin = jnp.min(resid)
+        dmax = jnp.max(resid)
+
+        col_base = sbase_ref[b, cb] * TILE_W
+        lx0 = x0i - col_base
+        lx1 = lx0 + 1
+        reg0 = lx0 // TILE_W
+        reg1 = lx1 // TILE_W
+        loc0 = lx0 - reg0 * TILE_W
+        loc1 = lx1 - reg1 * TILE_W
+        w1 = fx
+        w0 = 1.0 - fx
+
+        def candidate(d, carry):
+            acc, accx, accy = carry
+            wv = (jnp.where(resid == d, 1.0 - fy, 0.0)
+                  + jnp.where(resid + 1 == d, fy, 0.0))
+            # d(wv)/dfy: candidate row as y0 contributes -1, as y1 +1.
+            dwv = (jnp.where(resid == d, -1.0, 0.0)
+                   + jnp.where(resid + 1 == d, 1.0, 0.0))
+
+            hval = jnp.zeros((tile_h, TILE_W), jnp.float32)
+            hdx = jnp.zeros((tile_h, TILE_W), jnp.float32)
+            for s in range(N_STRIPES):
+                seg = stripes[s][0, 0, pl.ds(r0p + d, tile_h), :]
+                g0 = jnp.take_along_axis(
+                    seg, jnp.where(reg0 == s, loc0, 0), axis=1)
+                g1 = jnp.take_along_axis(
+                    seg, jnp.where(reg1 == s, loc1, 0), axis=1)
+                hval += (jnp.where(reg0 == s, w0 * g0, 0.0)
+                         + jnp.where(reg1 == s, w1 * g1, 0.0))
+                # d(hval)/dfx = g1 - g0 (each masked to its stripe)
+                hdx += (jnp.where(reg1 == s, g1, 0.0)
+                        - jnp.where(reg0 == s, g0, 0.0))
+            return (acc + wv * hval, accx + wv * hdx, accy + dwv * hval)
+
+        zero = jnp.zeros((tile_h, TILE_W), jnp.float32)
+        acc, accx, accy = jax.lax.fori_loop(dmin, dmax + 2, candidate,
+                                            (zero, zero, zero))
+        out_ref[0, 0] = acc
+        dx_ref[0, 0] = accx
+        dy_ref[0, 0] = accy
+
+    return kernel
+
+
 def _pad_to_multiple(arr, mult, axis):
     size = arr.shape[axis]
     rem = (-size) % mult
@@ -127,25 +197,11 @@ def _pad_to_multiple(arr, mult, axis):
     return jnp.pad(arr, pads, mode="edge")
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_dx_px", "tile_h", "interpret"))
-def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
-                        max_dx_px: int = 126,
-                        tile_h: int = TILE_H,
-                        interpret: bool = False) -> jax.Array:
-    """Fused warp: frames (B, H, W, C) × grids (B, Ho, Wo, 2) → (B, Ho, Wo, C).
-
-    Drop-in for ops/warp_ref.bilinear_warp_batch. ``max_dx_px`` is the
-    STATIC bound on horizontal displacement |x_src - x_out| the caller
-    guarantees (the framework derives it from ModelConfig.max_offset); it
-    only sizes the horizontal edge padding — coverage comes from per-block
-    scalar stripe bases, so it can be arbitrarily large. Contract: dx must
-    vary by < 126 px within any single 128-column block (all smooth
-    stabilization grids qualify). Vertical displacement is unbounded.
-    """
+def _run_warp(frames, grids, max_dx_px, tile_h, interpret, with_grad):
+    """Shared layout/padding/scalar-base prep + pallas_call for both the
+    inference kernel and the gradient-emitting kernel."""
     b, h, w, c = frames.shape
     _, ho, wo, _ = grids.shape
-    orig_dtype = frames.dtype
     pad_w = TILE_W * max(_cdiv(max_dx_px + 2, TILE_W), 1)
     pad_h = tile_h
 
@@ -195,24 +251,95 @@ def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
                                                    sref[b_, cb] + o),
             memory_space=pltpu.VMEM)
 
+    out_spec = pl.BlockSpec((1, 1, tile_h, TILE_W),
+                            lambda b_, c_, cb, r, sref: (b_, c_, r, cb),
+                            memory_space=pltpu.VMEM)
+    n_out = 3 if with_grad else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[coord_spec, coord_spec,
                   *(stripe_spec(o) for o in range(N_STRIPES))],
-        out_specs=pl.BlockSpec((1, 1, tile_h, TILE_W),
-                               lambda b_, c_, cb, r, sref: (b_, c_, r, cb),
-                               memory_space=pltpu.VMEM),
+        out_specs=[out_spec] * n_out if with_grad else out_spec,
     )
-    out = pl.pallas_call(
-        _make_warp_kernel(tile_h),
+    shape = jax.ShapeDtypeStruct((b, c, hop, wop), jnp.float32)
+    kernel = (_make_warp_grad_kernel(tile_h) if with_grad
+              else _make_warp_kernel(tile_h))
+    outs = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, hop, wop), jnp.float32),
+        out_shape=[shape] * n_out if with_grad else shape,
         interpret=interpret,
     )(sbase, y, x, *([planes] * N_STRIPES))
 
-    out = out[:, :, :ho, :wo]
-    return jnp.transpose(out, (0, 2, 3, 1)).astype(orig_dtype)
+    def crop(o):
+        return jnp.transpose(o[:, :, :ho, :wo], (0, 2, 3, 1))
+
+    if with_grad:
+        return tuple(crop(o) for o in outs)
+    return crop(outs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_dx_px", "tile_h", "interpret"))
+def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
+                        max_dx_px: int = 126,
+                        tile_h: int = TILE_H,
+                        interpret: bool = False) -> jax.Array:
+    """Fused warp: frames (B, H, W, C) × grids (B, Ho, Wo, 2) → (B, Ho, Wo, C).
+
+    Drop-in for ops/warp_ref.bilinear_warp_batch. ``max_dx_px`` is the
+    STATIC bound on horizontal displacement |x_src - x_out| the caller
+    guarantees (the framework derives it from ModelConfig.max_offset); it
+    only sizes the horizontal edge padding — coverage comes from per-block
+    scalar stripe bases, so it can be arbitrarily large. Contract: dx must
+    vary by < 126 px within any single 128-column block (all smooth
+    stabilization grids qualify). Vertical displacement is unbounded.
+    """
+    out = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
+                    with_grad=False)
+    return out.astype(frames.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bilinear_warp_batch_grids_diff(frames: jax.Array, grids: jax.Array,
+                                   max_dx_px: int = 126,
+                                   tile_h: int = TILE_H,
+                                   interpret: bool = False) -> jax.Array:
+    """Fused warp, differentiable w.r.t. GRIDS ONLY (frames are treated as
+    constants — their cotangent is zero). This is the training-path warp:
+    the pixel loss differentiates through the sampling grid into the CNN,
+    while the sampled frames are data. Use warp_ref for full autodiff.
+    """
+    return _run_warp(frames, grids, max_dx_px, tile_h, interpret,
+                     with_grad=False).astype(frames.dtype)
+
+
+def _gdiff_fwd(frames, grids, max_dx_px, tile_h, interpret):
+    out, dximg, dyimg = _run_warp(frames, grids, max_dx_px, tile_h,
+                                  interpret, with_grad=True)
+    h, w = frames.shape[1], frames.shape[2]
+    # Clip subgradient: zero where the unnormalized coord was clamped.
+    x = (grids[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
+    y = (grids[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
+    mask_x = ((x > 0.0) & (x < w - 1)).astype(jnp.float32)
+    mask_y = ((y > 0.0) & (y < h - 1)).astype(jnp.float32)
+    res = (dximg, dyimg, mask_x, mask_y,
+           jnp.zeros_like(frames), w, h)
+    return out.astype(frames.dtype), res
+
+
+def _gdiff_bwd(max_dx_px, tile_h, interpret, res, g):
+    dximg, dyimg, mask_x, mask_y, zero_frames, w, h = res
+    g = g.astype(jnp.float32)
+    # Chain: pixel coords = (g_norm + 1) * 0.5 * (S - 1), clip subgradient.
+    dgx = jnp.sum(g * dximg, axis=-1) * mask_x * (0.5 * (w - 1))
+    dgy = jnp.sum(g * dyimg, axis=-1) * mask_y * (0.5 * (h - 1))
+    dgrids = jnp.stack([dgx, dgy], axis=-1)
+    return zero_frames, dgrids
+
+
+bilinear_warp_batch_grids_diff.defvjp(_gdiff_fwd, _gdiff_bwd)
 
 
 def stripes_for_max_dx(max_dx_px: int) -> int:

@@ -23,7 +23,6 @@ import optax
 from dvsg_tpu.config import TrainConfig
 from dvsg_tpu.models import motion_cnn
 from dvsg_tpu.ops import grid as grid_ops
-from dvsg_tpu.ops.warp_ref import bilinear_warp
 from dvsg_tpu.pipeline.stabilize import build_windows
 from dvsg_tpu.train import synthetic
 
@@ -134,11 +133,17 @@ def loss_fn(params, keys: jax.Array, cfg: TrainConfig):
     windows, lasts, t_frames, t_offs = _sample_batch(keys, cfg)
     b, s = windows.shape[:2]
 
+    from dvsg_tpu.ops import warp as warp_ops
+
     flat_w = windows.reshape((b * s,) + windows.shape[2:])
     offsets = motion_cnn.predict_offsets(mcfg, params, flat_w)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(o, mh, mw))(offsets)
     flat_l = lasts.reshape((b * s,) + lasts.shape[2:])
-    warped = jax.vmap(bilinear_warp)(flat_l, grids)
+    # Grid-differentiable fused warp (Pallas on TPU); frames are data, so
+    # grid-only gradients are exactly what the loss needs.
+    warped = warp_ops.warp_batch_diff(
+        flat_l, grids, "auto",
+        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, mw))
     warped = warped.reshape((b, s) + warped.shape[1:])
 
     bh, bw = int(mh * _LOSS_BORDER), int(mw * _LOSS_BORDER)
