@@ -79,8 +79,9 @@ class ShardedClipStabilizer:
             if n_valid < t_chunk:
                 pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
                 chunk = np.concatenate([chunk, pad], axis=1)
-            out, halos, _ = self._fn(self.params, jnp.asarray(chunk), halos)
-            outs.append(np.asarray(out[:, :n_valid]))
+            from dvsg_tpu.pipeline.stabilize import fetch_frames, put_frames
+            out, halos, _ = self._fn(self.params, put_frames(chunk), halos)
+            outs.append(fetch_frames(out[:, :n_valid]))
         return np.concatenate(outs, axis=1)
 
 

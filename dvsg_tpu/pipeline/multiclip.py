@@ -24,7 +24,8 @@ import numpy as np
 
 from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.parallel import dp
-from dvsg_tpu.pipeline.stabilize import initial_halo
+from dvsg_tpu.pipeline.stabilize import (fetch_frames, initial_halo,
+                                         put_frames)
 from dvsg_tpu.utils import video_io
 from dvsg_tpu.utils.metrics import StageTimer
 
@@ -104,7 +105,7 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     def flush(p):
         out_dev, valid = p
         with timer.stage("d2h"):
-            host = np.asarray(out_dev)
+            host = fetch_frames(out_dev)
         for i in range(n):
             if valid[i] > 0:
                 enc_qs[i].put(host[i, :valid[i]])
@@ -139,7 +140,7 @@ def stabilize_multi(cfg: StabilizeConfig, params,
                 [initial_halo(cfg, chunks[i][0]) for i in range(n)])
         batch = np.stack(chunks)
         with timer.stage("dispatch"):
-            out_dev, halos, _ = fn(params, jnp.asarray(batch), halos)
+            out_dev, halos, _ = fn(params, put_frames(batch), halos)
         if pending is not None:
             flush(pending)
         pending = (out_dev, list(valid))

@@ -25,7 +25,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from dvsg_tpu.pipeline.stabilize import (Stabilizer, initial_halo,
+from dvsg_tpu.pipeline.stabilize import (Stabilizer, fetch_frames,
+                                         initial_halo, put_frames,
                                          stabilize_chunk)
 from dvsg_tpu.utils import video_io
 from dvsg_tpu.utils.metrics import StageTimer
@@ -93,7 +94,7 @@ def stabilize_stream_overlapped(stab: Stabilizer,
         nonlocal written
         out_dev, n_valid = p
         with timer.stage("d2h"):
-            host = np.asarray(out_dev[:n_valid])
+            host = fetch_frames(out_dev[:n_valid])
         encode_q.put(host)
         written += n_valid
 
@@ -110,7 +111,7 @@ def stabilize_stream_overlapped(stab: Stabilizer,
             chunk = np.concatenate([chunk, pad], axis=0)
         with timer.stage("dispatch"):
             out_dev, halo, _ = stabilize_chunk(
-                cfg, stab.params, jnp.asarray(chunk), halo)
+                cfg, stab.params, put_frames(chunk), halo)
         # Fetch the PREVIOUS chunk only now — its compute overlapped with
         # this chunk's decode and dispatch.
         if pending is not None:

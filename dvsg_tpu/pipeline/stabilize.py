@@ -97,6 +97,31 @@ stabilize_chunk = functools.partial(
     jax.jit, static_argnums=(0,), donate_argnums=(2, 3))(stabilize_chunk_impl)
 
 
+def put_frames(host_frames: np.ndarray) -> jax.Array:
+    """Host→device upload of (..., H, W, C) uint8 frames.
+
+    Mirror of fetch_frames: uploads through a (..., H, W*C) view to avoid
+    the tiny-last-dimension uint8 slow path of some PJRT transports; both
+    reshapes are free (contiguous views).
+    """
+    *lead, h, w, c = host_frames.shape
+    dev = jnp.asarray(np.ascontiguousarray(host_frames).reshape(
+        *lead, h, w * c))
+    return dev.reshape(*lead, h, w, c)
+
+
+def fetch_frames(dev_frames: jax.Array) -> np.ndarray:
+    """Device→host fetch of (..., H, W, C) uint8 frames.
+
+    Fetches through a (..., H, W*C) view: tiny-last-dimension uint8 arrays
+    transfer pathologically slowly on some PJRT transports (30x measured on
+    the axon tunnel); the reshape is free on device and on host.
+    """
+    *lead, h, w, c = dev_frames.shape
+    flat = dev_frames.reshape(*lead, h, w * c)
+    return np.asarray(flat).reshape(*lead, h, w, c)
+
+
 def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:
     """Replicate-pad history for the start of a stream (SURVEY.md §4)."""
     mcfg = cfg.model
@@ -133,8 +158,8 @@ class Stabilizer:
                 pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
             out, halo, _ = stabilize_chunk(
-                self.cfg, self.params, jnp.asarray(chunk), halo)
-            outs.append(np.asarray(out[:n_valid]))
+                self.cfg, self.params, put_frames(chunk), halo)
+            outs.append(fetch_frames(out[:n_valid]))
         return np.concatenate(outs, axis=0)
 
     def stabilize_stream(self, reader: video_io.VideoReader,
@@ -183,13 +208,13 @@ class Stabilizer:
                 pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
             with timer.stage("h2d"):
-                dev_chunk = jnp.asarray(chunk)
+                dev_chunk = put_frames(chunk)
             with timer.stage("compute"):
                 out, halo, _ = stabilize_chunk(
                     self.cfg, self.params, dev_chunk, halo)
                 out.block_until_ready()
             with timer.stage("d2h"):
-                host_out = np.asarray(out[:n_valid])
+                host_out = fetch_frames(out[:n_valid])
             with timer.stage("encode"):
                 writer.write_batch(host_out)
             written += n_valid

@@ -173,6 +173,12 @@ class VideoWriter:
                                            (width, height))
             if not self._writer.isOpened():
                 raise IOError(f"cannot open video writer for {path}")
+            # Default codec quality is low enough to dominate stabilization
+            # quality measurements; prefer high quality for outputs.
+            try:
+                self._writer.set(cv2.VIDEOWRITER_PROP_QUALITY, 95)
+            except Exception:
+                pass
         else:
             self._writer = None
             self._dir = path
