@@ -1,0 +1,130 @@
+"""Temporal (sequence-parallel analog) sharding of a SINGLE clip.
+
+SURVEY.md §5.7/§2.3: the model has no attention, so ring-attention/Ulysses
+don't apply — the "sequence" axis is TIME. For one long clip, the chunk's
+frame axis is sharded over the mesh's ``data`` axis and each device
+stabilizes its own temporal shard; the only communication is the
+(window-1)-frame model-resolution halo each device sends its right
+neighbor, a single ``lax.ppermute`` over ICI per chunk. Everything else
+(CNN, grid, warp) is local — the structural equivalent of context-parallel
+halo exchange.
+
+Implemented with ``shard_map`` so the collective is explicit; outputs are
+bitwise-identical to the single-device pipeline (tested on the virtual
+8-device mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvsg_tpu.config import StabilizeConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.ops import grid as grid_ops
+from dvsg_tpu.ops import warp as warp_ops
+from dvsg_tpu.parallel.mesh import DATA_AXIS
+from dvsg_tpu.pipeline.stabilize import (build_windows, initial_halo,
+                                         normalize_frames, quantize_frames)
+
+
+def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
+    """Per-device body under shard_map.
+
+    frames_u8: (T_local, H, W, C) this device's temporal shard.
+    chunk_halo: (window-1, mh, mw, C) — the chunk-level carry, used by
+      device 0 only; other devices use their left neighbor's tail.
+    Returns (stabilized_u8 local shard, this device's tail (window-1 model
+    frames), stacked so the host can pick the LAST shard's tail as the
+    next chunk's halo).
+    """
+    mcfg = cfg.model
+    t_local, h, w, _ = frames_u8.shape
+    mh, mw = mcfg.model_size
+    n = mcfg.window
+
+    frames = normalize_frames(frames_u8)
+    small = jax.image.resize(frames, (t_local, mh, mw, mcfg.channels),
+                             method="bilinear") - 0.5
+    tail = small[t_local - (n - 1):]            # (n-1, mh, mw, C)
+
+    # Halo exchange: every device sends its tail to its RIGHT neighbor
+    # (one ICI hop); device 0 substitutes the chunk-level carry.
+    n_dev = jax.lax.axis_size(DATA_AXIS)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    prev_tail = jax.lax.ppermute(tail, DATA_AXIS, perm)
+    idx = jax.lax.axis_index(DATA_AXIS)
+    prev = jnp.where(idx == 0, chunk_halo, prev_tail)
+
+    seq = jnp.concatenate([prev, small], axis=0)
+    windows = build_windows(seq, t_local, n)
+    offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+        o, h, w, border_crop=cfg.border_crop))(offsets)
+    warped = warp_ops.warp_batch(
+        frames, grids, cfg.warp_impl,
+        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w))
+    return quantize_frames(warped), tail[None]   # leading shard axis
+
+
+def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
+    """jit'd chunk step with the FRAME axis sharded over ``data``.
+
+    fn(params, frames (T, H, W, C) u8, halo (window-1, mh, mw, C)) →
+    (stabilized (T, H, W, C) u8 sharded on T, tails (n_dev, window-1, ...)
+    — take tails[-1] as the next chunk's halo). T % n_dev must be 0.
+    """
+    from jax import shard_map
+
+    repl = NamedSharding(mesh, P())
+    t_sharded = NamedSharding(mesh, P(DATA_AXIS))
+
+    body = shard_map(
+        functools.partial(_local_chunk, cfg),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    return jax.jit(body,
+                   in_shardings=(repl, t_sharded, repl),
+                   out_shardings=(t_sharded, t_sharded))
+
+
+class TemporalShardedStabilizer:
+    """Long-video single-clip stabilization with the time axis sharded
+    across devices (BASELINE.json config 5, one-clip variant)."""
+
+    def __init__(self, cfg: StabilizeConfig, params, mesh: Mesh):
+        n_dev = mesh.devices.size
+        if cfg.chunk_frames % n_dev:
+            raise ValueError(
+                f"chunk_frames {cfg.chunk_frames} must divide over "
+                f"{n_dev} devices")
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self._fn = make_temporal_chunk_fn(cfg, mesh)
+
+    def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
+        from dvsg_tpu.pipeline.stabilize import fetch_frames, put_frames
+        total = frames_u8.shape[0]
+        if total == 0:
+            return frames_u8
+        halo = initial_halo(self.cfg, frames_u8[0])
+        t_chunk = self.cfg.chunk_frames
+        outs = []
+        for start in range(0, total, t_chunk):
+            chunk = frames_u8[start:start + t_chunk]
+            n_valid = chunk.shape[0]
+            if n_valid < t_chunk:
+                pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            out, tails = self._fn(self.params, put_frames(chunk), halo)
+            halo = tails[-1]
+            outs.append(fetch_frames(out[:n_valid]))
+        return np.concatenate(outs, axis=0)

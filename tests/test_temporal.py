@@ -1,0 +1,46 @@
+"""Temporal (single-clip) sharding across the mesh (SURVEY.md §5.7)."""
+
+import numpy as np
+import jax
+import pytest
+
+from dvsg_tpu.config import ModelConfig, StabilizeConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.parallel import mesh as mesh_lib
+from dvsg_tpu.parallel.temporal import TemporalShardedStabilizer
+from dvsg_tpu.pipeline.stabilize import Stabilizer
+
+MCFG = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                   base_features=8, blocks_per_level=1)
+CFG = StabilizeConfig(model=MCFG, chunk_frames=16, warp_impl="lax")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return motion_cnn.init_params(MCFG, jax.random.key(0))
+
+
+def test_matches_single_device(params, rng):
+    """Halo exchange over the mesh must be invisible in the output."""
+    frames = (rng.random((40, 32, 40, 3)) * 255).astype(np.uint8)
+    mesh = mesh_lib.make_mesh()
+    sharded = TemporalShardedStabilizer(CFG, params, mesh)
+    single = Stabilizer(CFG, params)
+    np.testing.assert_array_equal(sharded.stabilize_clip(frames),
+                                  single.stabilize_clip(frames))
+
+
+def test_partial_last_chunk(params, rng):
+    frames = (rng.random((21, 32, 32, 3)) * 255).astype(np.uint8)
+    mesh = mesh_lib.make_mesh()
+    sharded = TemporalShardedStabilizer(CFG, params, mesh)
+    single = Stabilizer(CFG, params)
+    np.testing.assert_array_equal(sharded.stabilize_clip(frames),
+                                  single.stabilize_clip(frames))
+
+
+def test_chunk_divisibility_enforced(params):
+    mesh = mesh_lib.make_mesh()
+    with pytest.raises(ValueError):
+        TemporalShardedStabilizer(CFG.replace(chunk_frames=12), params,
+                                  mesh)
