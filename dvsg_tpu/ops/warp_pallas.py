@@ -56,9 +56,16 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _make_warp_kernel(tile_h: int):
-    """Kernel body; see module docstring for the decomposition."""
+    """Kernel body; see module docstring for the decomposition.
 
-    def kernel(sbase_ref, y_ref, x_ref, s0, s1, s2, out_ref):
+    Stripe work is PREDICATED: a tile whose displaced source columns touch
+    only 1-2 of its 3 stripes (the common case — a 128-wide tile straddles
+    at most 2 registers after base-centering) skips the unused stripes'
+    gathers entirely via @pl.when on a per-tile scalar.
+    """
+
+    def kernel(sbase_ref, y_ref, x_ref, s0, s1, s2, out_ref, acc_ref,
+               hval_ref):
         b = pl.program_id(0)
         cb = pl.program_id(2)
         rt = pl.program_id(3)
@@ -92,27 +99,32 @@ def _make_warp_kernel(tile_h: int):
         loc1 = lx1 - reg1 * TILE_W
         w1 = fx
         w0 = 1.0 - fx
+        need = [jnp.any((reg0 == s) | (reg1 == s)) for s in range(N_STRIPES)]
 
-        def candidate(d, acc):
+        acc_ref[...] = jnp.zeros((tile_h, TILE_W), jnp.float32)
+
+        def candidate(d, _):
             # Vertical bilinear weight of candidate d: the candidate row
             # serves as y0 (weight 1-fy) and/or y0+1 (weight fy).
             wv = (jnp.where(resid == d, 1.0 - fy, 0.0)
                   + jnp.where(resid + 1 == d, fy, 0.0))
 
-            hval = jnp.zeros((tile_h, TILE_W), jnp.float32)
-            for s in range(N_STRIPES):      # static stripe loop
-                seg = stripes[s][0, 0, pl.ds(r0p + d, tile_h), :]
-                g0 = jnp.take_along_axis(
-                    seg, jnp.where(reg0 == s, loc0, 0), axis=1)
-                g1 = jnp.take_along_axis(
-                    seg, jnp.where(reg1 == s, loc1, 0), axis=1)
-                hval += (jnp.where(reg0 == s, w0 * g0, 0.0)
-                         + jnp.where(reg1 == s, w1 * g1, 0.0))
-            return acc + wv * hval
+            hval_ref[...] = jnp.zeros((tile_h, TILE_W), jnp.float32)
+            for s in range(N_STRIPES):      # static stripe loop, predicated
+                @pl.when(need[s])
+                def _(s=s):
+                    seg = stripes[s][0, 0, pl.ds(r0p + d, tile_h), :]
+                    g0 = jnp.take_along_axis(
+                        seg, jnp.where(reg0 == s, loc0, 0), axis=1)
+                    g1 = jnp.take_along_axis(
+                        seg, jnp.where(reg1 == s, loc1, 0), axis=1)
+                    hval_ref[...] += (jnp.where(reg0 == s, w0 * g0, 0.0)
+                                      + jnp.where(reg1 == s, w1 * g1, 0.0))
+            acc_ref[...] += wv * hval_ref[...]
+            return 0
 
-        acc = jax.lax.fori_loop(dmin, dmax + 2, candidate,
-                                jnp.zeros((tile_h, TILE_W), jnp.float32))
-        out_ref[0, 0] = acc
+        jax.lax.fori_loop(dmin, dmax + 2, candidate, 0)
+        out_ref[0, 0] = acc_ref[...]
 
     return kernel
 
@@ -255,12 +267,16 @@ def _run_warp(frames, grids, max_dx_px, tile_h, interpret, with_grad):
                             lambda b_, c_, cb, r, sref: (b_, c_, r, cb),
                             memory_space=pltpu.VMEM)
     n_out = 3 if with_grad else 1
+    scratch = ([] if with_grad else
+               [pltpu.VMEM((tile_h, TILE_W), jnp.float32),
+                pltpu.VMEM((tile_h, TILE_W), jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[coord_spec, coord_spec,
                   *(stripe_spec(o) for o in range(N_STRIPES))],
         out_specs=[out_spec] * n_out if with_grad else out_spec,
+        scratch_shapes=scratch,
     )
     shape = jax.ShapeDtypeStruct((b, c, hop, wop), jnp.float32)
     kernel = (_make_warp_grad_kernel(tile_h) if with_grad

@@ -10,7 +10,6 @@ is sharded (SURVEY.md §2.3, §5.8).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ bitwise-identical to the single-device pipeline (tested on the virtual
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ import queue
 import threading
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from dvsg_tpu.pipeline.stabilize import (Stabilizer, fetch_frames,

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.ops import grid as grid_ops
 from dvsg_tpu.ops.warp_ref import bilinear_warp
 from dvsg_tpu.pipeline.stabilize import Stabilizer
