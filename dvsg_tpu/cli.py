@@ -321,6 +321,29 @@ def eval_main(argv=None) -> int:
     return 0
 
 
+def _friendly_errors(fn):
+    """Turn expected user errors into one-line messages (no tracebacks)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(argv=None):
+        try:
+            return fn(argv)
+        except FileNotFoundError as e:
+            print(f"ERROR: not found: {e}", file=sys.stderr)
+            return 2
+        except (IOError, ValueError) as e:
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 2
+    return wrapped
+
+
+stabilize_main = _friendly_errors(stabilize_main)
+stabilize_batch_main = _friendly_errors(stabilize_batch_main)
+eval_main = _friendly_errors(eval_main)
+train_main = _friendly_errors(train_main)
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
