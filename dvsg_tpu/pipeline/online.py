@@ -1,0 +1,69 @@
+"""Online (push) stabilization API for live sources.
+
+The reference's surface is batch scripts; for live/streaming use the same
+chunked device core is wrapped in a push API: feed frames one at a time,
+receive stabilized frames as each chunk fills. Latency = chunk_frames
+frames (set chunk_frames=1 for frame-level latency — static shapes make
+that just another compiled program).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from dvsg_tpu.config import StabilizeConfig
+from dvsg_tpu.pipeline.stabilize import (fetch_frames, initial_halo,
+                                         put_frames, stabilize_chunk)
+
+
+class OnlineStabilizer:
+    """Push frames in, get stabilized frames out, chunk by chunk.
+
+    >>> s = OnlineStabilizer(cfg, params)
+    >>> for frame in source:
+    ...     for out in s.push(frame):
+    ...         sink(out)
+    >>> for out in s.flush():
+    ...     sink(out)
+    """
+
+    def __init__(self, cfg: StabilizeConfig, params):
+        self.cfg = cfg
+        self.params = params
+        self._buf: List[np.ndarray] = []
+        self._halo = None
+
+    def _process(self, frames: np.ndarray, n_valid: int) -> np.ndarray:
+        if self._halo is None:
+            self._halo = initial_halo(self.cfg, frames[0])
+        out, self._halo, _ = stabilize_chunk(
+            self.cfg, self.params, put_frames(frames), self._halo)
+        return fetch_frames(out[:n_valid])
+
+    def push(self, frame: np.ndarray) -> List[np.ndarray]:
+        """Add one (H, W, 3) uint8 frame; returns 0 or chunk_frames
+        stabilized frames."""
+        self._buf.append(np.asarray(frame))
+        if len(self._buf) < self.cfg.chunk_frames:
+            return []
+        chunk = np.stack(self._buf)
+        self._buf.clear()
+        return list(self._process(chunk, chunk.shape[0]))
+
+    def flush(self) -> List[np.ndarray]:
+        """Process any buffered partial chunk (replicate-padded)."""
+        if not self._buf:
+            return []
+        n_valid = len(self._buf)
+        chunk = np.stack(self._buf)
+        self._buf.clear()
+        pad = np.repeat(chunk[-1:], self.cfg.chunk_frames - n_valid, axis=0)
+        chunk = np.concatenate([chunk, pad], axis=0)
+        return list(self._process(chunk, n_valid))
+
+    def reset(self):
+        """Drop buffered frames and streaming state (new scene/source)."""
+        self._buf.clear()
+        self._halo = None
