@@ -69,3 +69,16 @@ def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
     ones = jnp.ones((height, width, 1), dtype=base.dtype)
     homo = jnp.concatenate([base, ones], axis=-1)  # (H, W, 3)
     return jnp.einsum("hwk,ck->hwc", homo, theta.astype(base.dtype))
+
+
+def homography_grid(hmat: jax.Array, height: int, width: int) -> jax.Array:
+    """Sampling grid for a 3x3 homography on normalized coords.
+
+    Projective: (x', y', w') = H @ (x, y, 1); grid = (x'/w', y'/w').
+    """
+    base = identity_grid(height, width)
+    ones = jnp.ones((height, width, 1), dtype=base.dtype)
+    homo = jnp.concatenate([base, ones], axis=-1)
+    out = jnp.einsum("hwk,ck->hwc", homo, hmat.astype(base.dtype))
+    # Mild camera perspectives keep w' near 1; no sign handling needed.
+    return out[..., :2] / out[..., 2:]

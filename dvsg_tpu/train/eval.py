@@ -45,7 +45,7 @@ def smoothed_targets(still: jax.Array, path: jax.Array, window: int
     def one(t):
         win = jax.lax.dynamic_slice_in_dim(padded, t, window, axis=0)
         theta = synthetic.jitter_theta(win.mean(axis=0))
-        return bilinear_warp(still, grid_ops.affine_grid(theta, h, w))
+        return bilinear_warp(still, grid_ops.homography_grid(theta, h, w))
 
     return jax.vmap(one)(jnp.arange(t_total))
 

@@ -99,9 +99,9 @@ def _sample_batch(keys: jax.Array, cfg: TrainConfig):
     jit_thetas = jax.vmap(jax.vmap(synthetic.jitter_theta))(paths)
     tgt_thetas = jax.vmap(jax.vmap(synthetic.jitter_theta))(mean_params)
     all_thetas = jnp.concatenate(
-        [jit_thetas.reshape(-1, 2, 3), tgt_thetas.reshape(-1, 2, 3)])
+        [jit_thetas.reshape(-1, 3, 3), tgt_thetas.reshape(-1, 3, 3)])
     all_grids = jax.vmap(
-        lambda t: grid_ops.affine_grid(t, mh, mw))(all_thetas)
+        lambda t: grid_ops.homography_grid(t, mh, mw))(all_thetas)
     src = jnp.concatenate([
         jnp.repeat(stills, clip_len, axis=0),
         jnp.repeat(stills, s_steps, axis=0)])
@@ -111,8 +111,16 @@ def _sample_batch(keys: jax.Array, cfg: TrainConfig):
     frames = warped[:b * clip_len].reshape(b, clip_len, mh, mw, -1)
     t_frames = warped[b * clip_len:].reshape(b, s_steps, mh, mw, -1)
 
+    # Photometric flicker on the model's INPUT windows only: motion
+    # estimation must be exposure-robust; the frame being warped and the
+    # targets stay clean (a stabilizer doesn't correct exposure).
+    k_flick = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    gains = 1.0 + 0.03 * jax.vmap(lambda k: jax.random.uniform(
+        k, (clip_len,), minval=-1.0, maxval=1.0))(k_flick)
+    flicked = frames * gains[..., None, None, None]
+
     wins = jax.vmap(
-        lambda f: build_windows(f - 0.5, s_steps, n))(frames)
+        lambda f: build_windows(f - 0.5, s_steps, n))(flicked)
     lasts = frames[:, n - 1:]
 
     return jax.lax.stop_gradient((wins, lasts, t_frames, t_offs))

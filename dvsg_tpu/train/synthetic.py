@@ -44,49 +44,50 @@ def random_still(key: jax.Array, height: int, width: int,
 
 def random_camera_path(key: jax.Array, num_frames: int,
                        max_trans: float = 0.08,
-                       max_angle: float = 0.05) -> jax.Array:
-    """Smooth random camera shake: per-frame (tx, ty, angle).
+                       max_angle: float = 0.05,
+                       max_persp: float = 0.02) -> jax.Array:
+    """Smooth random camera shake: per-frame (tx, ty, angle, px, py).
 
-    tx/ty in normalized units (align_corners grid units), angle in radians.
-    A random walk low-passed with a small moving-average window, scaled to
-    the requested bounds — the low-frequency handheld-shake regime the
-    stabilizer is meant to remove.
+    tx/ty in normalized units (align_corners grid units), angle in radians,
+    px/py mild projective terms (perspective wobble — rolling-shutter-like
+    distortion handheld cameras exhibit). A random walk low-passed with a
+    small moving-average window, scaled to the requested bounds — the
+    low-frequency handheld-shake regime the stabilizer is meant to remove.
     """
     k1, k2 = jax.random.split(key)
-    steps = jax.random.normal(k1, (num_frames + 8, 3))
+    steps = jax.random.normal(k1, (num_frames + 8, 5))
     walk = jnp.cumsum(steps, axis=0)
     kernel = jnp.ones((9,)) / 9.0
     smooth = jnp.stack([
-        jnp.convolve(walk[:, i], kernel, mode="valid") for i in range(3)
+        jnp.convolve(walk[:, i], kernel, mode="valid") for i in range(5)
     ], axis=-1)[:num_frames]
     smooth = smooth - smooth.mean(axis=0, keepdims=True)
     denom = jnp.maximum(jnp.abs(smooth).max(axis=0, keepdims=True), 1e-6)
-    scale = jnp.array([max_trans, max_trans, max_angle])
-    mag = jax.random.uniform(k2, (3,), minval=0.3, maxval=1.0)
+    scale = jnp.array([max_trans, max_trans, max_angle,
+                       max_persp, max_persp])
+    mag = jax.random.uniform(k2, (5,), minval=0.3, maxval=1.0)
     return smooth / denom * scale * mag
 
 
 def jitter_theta(params: jax.Array) -> jax.Array:
-    """(tx, ty, angle) → 2x3 affine theta in normalized coords."""
-    tx, ty, ang = params[0], params[1], params[2]
+    """(tx, ty, angle, px, py) → 3x3 homography in normalized coords."""
+    tx, ty, ang, px, py = (params[0], params[1], params[2], params[3],
+                           params[4])
     ca, sa = jnp.cos(ang), jnp.sin(ang)
-    return jnp.array([[ca, -sa, tx], [sa, ca, ty]])
+    one = jnp.ones_like(tx)
+    return jnp.array([[ca, -sa, tx], [sa, ca, ty], [px, py, one]])
 
 
-def invert_theta(theta: jax.Array) -> jax.Array:
-    """Invert a 2x3 affine: p → M⁻¹(p - b)."""
-    m, b = theta[:, :2], theta[:, 2]
-    # closed-form 2x2 inverse (keeps everything jittable)
-    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
-    m_inv = jnp.array([[m[1, 1], -m[0, 1]], [-m[1, 0], m[0, 0]]]) / det
-    return jnp.concatenate([m_inv, (-(m_inv @ b))[:, None]], axis=1)
+def invert_theta(hmat: jax.Array) -> jax.Array:
+    """Invert a 3x3 homography (normalized so H[2,2] == 1)."""
+    inv = jnp.linalg.inv(hmat)
+    return inv / inv[2, 2]
 
 
 def compose_theta(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Compose 2x3 affines: (a ∘ b)(p) = a(b(p))."""
-    ma, ba = a[:, :2], a[:, 2]
-    mb, bb = b[:, :2], b[:, 2]
-    return jnp.concatenate([(ma @ mb), (ma @ bb + ba)[:, None]], axis=1)
+    """Compose 3x3 homographies: (a ∘ b)(p) = a(b(p))."""
+    m = a @ b
+    return m / m[2, 2]
 
 
 def stabilizing_theta(path_window: jax.Array) -> jax.Array:
@@ -102,20 +103,21 @@ def stabilizing_theta(path_window: jax.Array) -> jax.Array:
     return compose_theta(a_t_inv, jitter_theta(mean_params))
 
 
-def theta_to_offsets(theta: jax.Array, gh: int, gw: int) -> jax.Array:
-    """Coarse control-grid offsets realizing an affine warp exactly.
+def theta_to_offsets(hmat: jax.Array, gh: int, gw: int) -> jax.Array:
+    """Coarse control-grid offsets sampling a homography at grid points.
 
-    Affine fields are linear in position, so bilinear upsampling of these
-    coarse offsets reproduces the dense affine grid exactly.
+    Affine parts are linear in position (bilinear upsampling reproduces
+    them exactly); mild projective terms are approximated with O(cell²)
+    error — far below the pixel-loss floor for handheld perspectives.
     """
-    return (grid_ops.affine_grid(theta, gh, gw)
+    return (grid_ops.homography_grid(hmat, gh, gw)
             - grid_ops.identity_grid(gh, gw))
 
 
 def jitter_frame(still: jax.Array, params: jax.Array) -> jax.Array:
-    """Render one shaky frame: sample the still through the jitter affine."""
+    """Render one shaky frame: sample the still through the jitter warp."""
     h, w, _ = still.shape
-    g = grid_ops.affine_grid(jitter_theta(params), h, w)
+    g = grid_ops.homography_grid(jitter_theta(params), h, w)
     return bilinear_warp(still, g)
 
 
@@ -127,7 +129,7 @@ def synthetic_clip(key: jax.Array, num_frames: int, height: int, width: int
     Returns:
       frames: (T, H, W, 3) f32 in [0,1] — the unstable clip.
       still:  (H, W, 3) f32 — the stable ground-truth image.
-      path:   (T, 3) per-frame jitter (tx, ty, angle).
+      path:   (T, 5) per-frame jitter (tx, ty, angle, px, py).
     """
     k_img, k_path = jax.random.split(key)
     still = random_still(k_img, height, width)

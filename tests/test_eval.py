@@ -54,7 +54,7 @@ def test_oracle_offsets_beat_identity():
     for t in range(10):
         win = padded[t:t + window]
         stab_theta = synthetic.stabilizing_theta(win)
-        g = grid_ops.affine_grid(stab_theta, 64, 64)
+        g = grid_ops.homography_grid(stab_theta, 64, 64)
         outs.append(bilinear_warp(frames[t], g))
     out = np.asarray(jnp.stack(outs))
 

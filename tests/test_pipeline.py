@@ -84,7 +84,7 @@ class TestSyntheticFixture:
             jax.random.key(1), 8, 48, 64)
         assert frames.shape == (8, 48, 64, 3)
         assert still.shape == (48, 64, 3)
-        assert path.shape == (8, 3)
+        assert path.shape == (8, 5)
         f = np.asarray(frames)
         assert f.min() >= 0.0 and f.max() <= 1.0
         # jitter must actually move pixels
@@ -100,13 +100,8 @@ class TestSyntheticFixture:
         frames, still, path = synthetic.synthetic_clip(
             jax.random.key(2), 4, 64, 64)
         t = 2
-        theta = synthetic.jitter_theta(path[t])
-        # invert the 2x3 affine in normalized coords
-        a = np.asarray(theta[:, :2])
-        b = np.asarray(theta[:, 2])
-        a_inv = np.linalg.inv(a)
-        theta_inv = np.concatenate([a_inv, (-a_inv @ b)[:, None]], axis=1)
-        g = grid_ops.affine_grid(jnp.asarray(theta_inv, jnp.float32), 64, 64)
+        theta_inv = synthetic.invert_theta(synthetic.jitter_theta(path[t]))
+        g = grid_ops.homography_grid(theta_inv, 64, 64)
         rec = np.asarray(bilinear_warp(frames[t], g))
         interior = (slice(10, -10), slice(10, -10))
         p = psnr(rec[interior], np.asarray(still)[interior])
