@@ -16,6 +16,7 @@ bench_detail.json; stdout carries exactly the one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -26,7 +27,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _bench_chunked(cfg, params, frames_u8, n_iters=30):
+def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2):
     """Steady-state device throughput: frames/sec over jitted chunks.
 
     Device-resident chained steps (each chunk's halo feeds the next), one
@@ -49,7 +50,7 @@ def _bench_chunked(cfg, params, frames_u8, n_iters=30):
     # Compile, then warm the chain until steady state (first reps pay
     # host-buffer upload and runtime warmup; we bench device steady state,
     # host I/O overlap is reported by the streaming pipeline metrics).
-    for _ in range(2):
+    for _ in range(warm_reps):
         for _ in range(8):
             out, halo, _ = step(params, out, halo)
         fetch(out)
@@ -165,7 +166,10 @@ def main():
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (cfg.chunk_frames, h, w, 3), np.uint8)
 
-    fps = _bench_chunked(cfg, params, frames)
+    # CPU runs (smoke only) are ~200x slower per chunk; keep them short.
+    fps = _bench_chunked(cfg, params, frames,
+                         n_iters=30 if on_tpu else 4,
+                         warm_reps=2 if on_tpu else 0)
     log(f"720p chunked throughput: {fps:.2f} frames/s/chip")
 
     warp_us = _bench_warp_kernel(cfg, h, w, batch=4)
@@ -231,5 +235,43 @@ def warp_ops_name(cfg):
     return warp_ops.resolve_impl(cfg.warp_impl)
 
 
+def _run_with_retries():
+    """Run the measurement in a subprocess with timeout + retry.
+
+    The environment's remote compile helper intermittently wedges
+    (ARCHITECTURE.md "Known environment quirks"); the reliable remedy is
+    kill-and-retry — the first attempt's compile usually lands in the
+    persistent cache, so the retry is fast. This wrapper automates that so
+    a single wedge can't leave the benchmark without a result.
+    """
+    import subprocess
+
+    env = dict(os.environ, DVSG_BENCH_INNER="1")
+    last_err = ""
+    for attempt in range(3):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            log(f"bench attempt {attempt} timed out; retrying "
+                "(compile cache should now be warm)")
+            continue
+        sys.stderr.write(res.stderr)
+        lines = [l for l in res.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if res.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last_err = res.stderr.strip().splitlines()[-1:] or ["?"]
+        log(f"bench attempt {attempt} failed (rc={res.returncode}); "
+            "retrying")
+    log(f"all bench attempts failed: {last_err}")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DVSG_BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(_run_with_retries())

@@ -124,3 +124,12 @@ class TestCLI:
 
     def test_unknown_command(self):
         assert cli.main(["frobnicate"]) == 2
+
+
+class TestCLIErrors:
+    def test_missing_input_clean_error(self, capsys):
+        rc = cli.stabilize_main(["--input", "/nonexistent.mp4",
+                                 "--output", "/tmp/x.mp4",
+                                 "--platform", "cpu"])
+        assert rc == 2
+        assert "ERROR" in capsys.readouterr().err
