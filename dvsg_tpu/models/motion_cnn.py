@@ -109,6 +109,41 @@ def _correlation_volume(ref: jax.Array, other: jax.Array,
     return jnp.stack(vols, axis=-1)
 
 
+def _corr_head_math(cfg: ModelConfig, feats: jax.Array, conv1, conv2,
+                    conv_out) -> jax.Array:
+    """Correlation volumes + regression head: feats (B, N, gh, gw, F) →
+    offsets (B, gh, gw, 2). Shared by the fused forward and the
+    feature-cached pipeline path."""
+    n = cfg.window
+    ref = feats[:, -1]                      # the frame being stabilized
+    vols = [_correlation_volume(ref, feats[:, k], cfg.corr_radius)
+            for k in range(n - 1)]
+    x = jnp.concatenate(vols + [ref.astype(jnp.float32)], axis=-1)
+    x = nn.gelu(conv1(x.astype(jnp.float32)))
+    x = nn.gelu(conv2(x))
+    off = conv_out(x)
+    return jnp.tanh(off) * cfg.max_offset
+
+
+class _CorrHeadModule(nn.Module):
+    """Standalone head with the same top-scope param names as
+    MotionEstimator's head — applied with the matching param subtree by
+    offsets_from_feature_windows."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, feats: jax.Array) -> jax.Array:
+        conv1 = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
+                        name="head_conv1")
+        conv2 = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
+                        name="head_conv2")
+        conv_out = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                           kernel_init=nn.initializers.zeros,
+                           name="head_out")
+        return _corr_head_math(self.cfg, feats, conv1, conv2, conv_out)
+
+
 class MotionEstimator(nn.Module):
     """Window of stacked frames → coarse normalized warp offsets.
 
@@ -153,22 +188,15 @@ class MotionEstimator(nn.Module):
         feats = encoder(flat)
         gh, gw = cfg.grid_size
         feats = feats.reshape(b, n, gh, gw, -1)
-        ref = feats[:, -1]                     # the frame being stabilized
-
-        vols = [_correlation_volume(ref, feats[:, k], cfg.corr_radius)
-                for k in range(n - 1)]
-        x = jnp.concatenate(vols + [ref.astype(jnp.float32)], axis=-1)
-
-        x = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
-                    name="head_conv1")(x.astype(jnp.float32))
-        x = nn.gelu(x)
-        x = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
-                    name="head_conv2")(x)
-        x = nn.gelu(x)
-        off = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
-                      kernel_init=nn.initializers.zeros,
-                      name="head_out")(x)
-        return jnp.tanh(off) * cfg.max_offset
+        # Head convs live at this module's top scope (checkpoint layout).
+        conv1 = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
+                        name="head_conv1")
+        conv2 = nn.Conv(128, (3, 3), padding="SAME", dtype=jnp.float32,
+                        name="head_conv2")
+        conv_out = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                           kernel_init=nn.initializers.zeros,
+                           name="head_out")
+        return _corr_head_math(cfg, feats, conv1, conv2, conv_out)
 
     def _stacked_forward(self, window: jax.Array) -> jax.Array:
         cfg = self.cfg
@@ -221,6 +249,27 @@ def init_params(cfg: ModelConfig, rng: jax.Array):
 def predict_offsets(cfg: ModelConfig, params, windows: jax.Array) -> jax.Array:
     """Apply the CNN: windows (B, Hm, Wm, N*C) → offsets (B, gh, gw, 2)."""
     return MotionEstimator(cfg).apply({"params": params}, windows)
+
+
+def encode_frames(cfg: ModelConfig, params, frames: jax.Array) -> jax.Array:
+    """Per-frame encoder pass: frames (B, Hm, Wm, C) → (B, gh, gw, F).
+
+    Sliding windows share window-1 of their frames, so callers encode each
+    unique frame ONCE and assemble feature windows — a window-length-fold
+    saving over encoding stacked pixel windows (the chunked pipeline and
+    the training loss both use this path). Requires cfg.arch == "corr".
+    """
+    if cfg.arch != "corr":
+        raise ValueError("feature caching requires the corr architecture")
+    return FrameEncoder(cfg).apply({"params": params["encoder"]}, frames)
+
+
+def offsets_from_feature_windows(cfg: ModelConfig, params,
+                                 feat_windows: jax.Array) -> jax.Array:
+    """Head pass over cached features: (B, N, gh, gw, F) → (B, gh, gw, 2)."""
+    head_params = {k: params[k] for k in ("head_conv1", "head_conv2",
+                                          "head_out")}
+    return _CorrHeadModule(cfg).apply({"params": head_params}, feat_windows)
 
 
 def predict_grid(cfg: ModelConfig, params, windows: jax.Array,

@@ -60,8 +60,15 @@ def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
     prev = jnp.where(idx == 0, chunk_halo, prev_tail)
 
     seq = jnp.concatenate([prev, small], axis=0)
-    windows = build_windows(seq, t_local, n)
-    offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    if mcfg.arch == "corr":
+        feats = motion_cnn.encode_frames(mcfg, params, seq)
+        t_idx = jnp.arange(t_local)[:, None]
+        n_idx = jnp.arange(n)[None, :]
+        offsets = motion_cnn.offsets_from_feature_windows(
+            mcfg, params, feats[t_idx + n_idx])
+    else:
+        windows = build_windows(seq, t_local, n)
+        offsets = motion_cnn.predict_offsets(mcfg, params, windows)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
         o, h, w, border_crop=cfg.border_crop))(offsets)
     warped = warp_ops.warp_batch(

@@ -80,9 +80,19 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     small = jax.image.resize(frames, (t, mh, mw, mcfg.channels),
                              method="bilinear") - 0.5
     seq = jnp.concatenate([halo, small], axis=0)   # (T+N-1, mh, mw, C)
-    windows = build_windows(seq, t, mcfg.window)   # (T, mh, mw, N*C)
 
-    offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    if mcfg.arch == "corr":
+        # Sliding windows share window-1 frames: encode each unique frame
+        # ONCE and assemble feature windows (window-fold encoder saving).
+        feats = motion_cnn.encode_frames(mcfg, params, seq)
+        t_idx = jnp.arange(t)[:, None]
+        n_idx = jnp.arange(mcfg.window)[None, :]
+        fwins = feats[t_idx + n_idx]               # (T, N, gh, gw, F)
+        offsets = motion_cnn.offsets_from_feature_windows(
+            mcfg, params, fwins)
+    else:
+        windows = build_windows(seq, t, mcfg.window)
+        offsets = motion_cnn.predict_offsets(mcfg, params, windows)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
         o, h, w, border_crop=cfg.border_crop))(offsets)
     warped = warp_ops.warp_batch(

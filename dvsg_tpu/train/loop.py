@@ -67,9 +67,9 @@ def _sample_batch(keys: jax.Array, cfg: TrainConfig):
     dominate the train step); everything here is data, so the whole batch
     is stop-gradient'd — gradients never touch the (VJP-less) kernel.
 
-    Returns (windows (B,S,mh,mw,N*C), lasts (B,S,mh,mw,C),
-             target_frames (B,S,mh,mw,C), target_offsets (B,S,gh,gw,2))
-    with S = _STEPS_PER_CLIP.
+    Returns (input_frames (B,clip_len,mh,mw,C) — flickered, centered at 0,
+             lasts (B,S,mh,mw,C), target_frames (B,S,mh,mw,C),
+             target_offsets (B,S,gh,gw,2)) with S = _STEPS_PER_CLIP.
     """
     from dvsg_tpu.ops import warp as warp_ops
 
@@ -111,19 +111,16 @@ def _sample_batch(keys: jax.Array, cfg: TrainConfig):
     frames = warped[:b * clip_len].reshape(b, clip_len, mh, mw, -1)
     t_frames = warped[b * clip_len:].reshape(b, s_steps, mh, mw, -1)
 
-    # Photometric flicker on the model's INPUT windows only: motion
+    # Photometric flicker on the model's INPUT frames only: motion
     # estimation must be exposure-robust; the frame being warped and the
     # targets stay clean (a stabilizer doesn't correct exposure).
     k_flick = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
     gains = 1.0 + 0.03 * jax.vmap(lambda k: jax.random.uniform(
         k, (clip_len,), minval=-1.0, maxval=1.0))(k_flick)
-    flicked = frames * gains[..., None, None, None]
-
-    wins = jax.vmap(
-        lambda f: build_windows(f - 0.5, s_steps, n))(flicked)
+    flicked = frames * gains[..., None, None, None] - 0.5
     lasts = frames[:, n - 1:]
 
-    return jax.lax.stop_gradient((wins, lasts, t_frames, t_offs))
+    return jax.lax.stop_gradient((flicked, lasts, t_frames, t_offs))
 
 
 def batch_keys(key: jax.Array, cfg: TrainConfig) -> jax.Array:
@@ -138,13 +135,26 @@ def batch_keys(key: jax.Array, cfg: TrainConfig) -> jax.Array:
 def loss_fn(params, keys: jax.Array, cfg: TrainConfig):
     mcfg = cfg.model
     mh, mw = mcfg.model_size
-    windows, lasts, t_frames, t_offs = _sample_batch(keys, cfg)
-    b, s = windows.shape[:2]
+    n = mcfg.window
+    in_frames, lasts, t_frames, t_offs = _sample_batch(keys, cfg)
+    b, s = lasts.shape[:2]
+    clip_len = in_frames.shape[1]
 
     from dvsg_tpu.ops import warp as warp_ops
 
-    flat_w = windows.reshape((b * s,) + windows.shape[2:])
-    offsets = motion_cnn.predict_offsets(mcfg, params, flat_w)
+    if mcfg.arch == "corr":
+        # Encode each unique frame once; windows share window-1 frames.
+        flat_f = in_frames.reshape((b * clip_len,) + in_frames.shape[2:])
+        feats = motion_cnn.encode_frames(mcfg, params, flat_f)
+        feats = feats.reshape((b, clip_len) + feats.shape[1:])
+        fwins = jnp.stack([feats[:, k:k + n] for k in range(s)], axis=1)
+        flat_fw = fwins.reshape((b * s,) + fwins.shape[2:])
+        offsets = motion_cnn.offsets_from_feature_windows(mcfg, params,
+                                                          flat_fw)
+    else:
+        wins = jax.vmap(lambda f: build_windows(f, s, n))(in_frames)
+        flat_w = wins.reshape((b * s,) + wins.shape[2:])
+        offsets = motion_cnn.predict_offsets(mcfg, params, flat_w)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(o, mh, mw))(offsets)
     flat_l = lasts.reshape((b * s,) + lasts.shape[2:])
     # Grid-differentiable fused warp (Pallas on TPU); frames are data, so

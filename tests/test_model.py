@@ -83,3 +83,18 @@ def test_upsample_offsets_constant_preserved():
     off = jnp.full((4, 4, 2), 0.03, jnp.float32)
     up = grid_ops.upsample_offsets(off, 64, 64)
     np.testing.assert_allclose(np.asarray(up), 0.03, atol=1e-6)
+
+
+def test_feature_cached_path_matches_fused(params, rng):
+    """encode_frames + offsets_from_feature_windows == predict_offsets."""
+    w = _window(rng, b=2)
+    fused = motion_cnn.predict_offsets(CFG, params, w)
+    mh, mw = CFG.model_size
+    frames = w.reshape(2, mh, mw, CFG.window, CFG.channels)
+    flat = jnp.transpose(frames, (0, 3, 1, 2, 4)).reshape(
+        2 * CFG.window, mh, mw, CFG.channels)
+    feats = motion_cnn.encode_frames(CFG, params, flat)
+    fwins = feats.reshape((2, CFG.window) + feats.shape[1:])
+    cached = motion_cnn.offsets_from_feature_windows(CFG, params, fwins)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(cached),
+                               atol=1e-6)
