@@ -98,3 +98,29 @@ def test_feature_cached_path_matches_fused(params, rng):
     cached = motion_cnn.offsets_from_feature_windows(CFG, params, fwins)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(cached),
                                atol=1e-6)
+
+
+def test_stacked_legacy_arch_still_works(rng):
+    cfg = ModelConfig(window=3, model_size=(64, 64), grid_size=(8, 8),
+                      base_features=8, blocks_per_level=1, arch="stacked")
+    params = motion_cnn.init_params(cfg, jax.random.key(2))
+    win = jnp.asarray(rng.random((1, 64, 64, 9), dtype=np.float32) - 0.5)
+    off = motion_cnn.predict_offsets(cfg, params, win)
+    assert off.shape == (1, 8, 8, 2)
+    # feature caching must refuse the stacked arch explicitly
+    import pytest
+    with pytest.raises(ValueError):
+        motion_cnn.encode_frames(cfg, params, jnp.zeros((1, 64, 64, 3)))
+
+
+def test_stacked_arch_pipeline(rng):
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.pipeline.stabilize import Stabilizer
+    cfg = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                      base_features=8, blocks_per_level=1, arch="stacked")
+    params = motion_cnn.init_params(cfg, jax.random.key(3))
+    frames = (rng.random((5, 32, 32, 3)) * 255).astype(np.uint8)
+    out = Stabilizer(StabilizeConfig(model=cfg, chunk_frames=4,
+                                     warp_impl="lax"),
+                     params).stabilize_clip(frames)
+    assert out.shape == frames.shape
