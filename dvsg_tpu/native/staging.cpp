@@ -39,12 +39,17 @@ class Pool {
   }
 
   // Runs fn(i) for i in [0, n) across the pool, blocking until done.
+  // Safe for CONCURRENT callers (e.g. the per-clip decode threads of the
+  // multi-clip pipeline): submissions are serialized — interleaved task
+  // state corrupted the pool otherwise (dangling task pointer → crash or
+  // a pending_ count that never drains → deadlock).
   void parallel_for(size_t n, const std::function<void(size_t)>& fn) {
     if (n == 0) return;
     if (n == 1) {
       fn(0);
       return;
     }
+    std::lock_guard<std::mutex> submit_lk(submit_m_);
     std::unique_lock<std::mutex> lk(m_);
     task_ = &fn;
     total_ = n;
@@ -96,6 +101,7 @@ class Pool {
   }
 
   std::vector<std::thread> workers_;
+  std::mutex submit_m_;   // serializes concurrent parallel_for callers
   std::mutex m_;
   std::condition_variable cv_, done_cv_;
   const std::function<void(size_t)>* task_ = nullptr;

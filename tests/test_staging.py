@@ -61,3 +61,29 @@ def test_reader_uses_staging_buffer(tmp_path, rng):
         got = r.read_batch(3, out=slot)
         assert got.base is slot.base or got.base is slot  # view into slot
         np.testing.assert_array_equal(got, frames[:3])
+
+
+def test_concurrent_callers_thread_safe(rng):
+    """The multi-clip pipeline calls the native pool from N decode threads
+    concurrently; interleaved submissions must not deadlock or corrupt
+    (regression: dangling task pointer crashed / hung stabilize-batch)."""
+    import threading
+
+    src = (rng.random((8, 64, 96, 3)) * 255).astype(np.uint8)
+    errors = []
+
+    def worker(i):
+        try:
+            for _ in range(50):
+                out = staging.bgr_to_rgb(src[i % len(src)])
+                assert out[0, 0, 0] == src[i % len(src)][0, 0, 2]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "native pool deadlocked"
+    assert not errors
