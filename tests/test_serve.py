@@ -74,3 +74,28 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_concurrent_requests(server, tmp_path, rng):
+    """Two simultaneous stabilize requests: decode runs concurrently on
+    request threads (native-pool thread safety), device work serialized."""
+    import concurrent.futures
+
+    payloads = []
+    for i in range(2):
+        frames = (rng.random((6, 32, 48, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"cc{i}.mp4")
+        with video_io.VideoWriter(p, 48, 32, fps=24.0) as w:
+            w.write_batch(frames)
+        with open(p, "rb") as f:
+            payloads.append(f.read())
+
+    def post(data):
+        req = urllib.request.Request(server + "/stabilize", data=data,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.headers["X-Frames"]
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        results = list(ex.map(post, payloads))
+    assert results == [(200, "6"), (200, "6")]
