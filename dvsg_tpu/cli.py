@@ -83,6 +83,11 @@ def stabilize_main(argv=None) -> int:
                         "loop into this dir and print an op summary")
     _add_model_args(p)
     args = p.parse_args(argv)
+    if args.overlap and args.resume_dir:
+        print("ERROR: --overlap has no resume support; drop --overlap for "
+              "a resumable run (or --resume-dir for an overlapped one)",
+              file=sys.stderr)
+        return 2
 
     import jax
     if args.platform:
@@ -170,17 +175,12 @@ def train_main(argv=None) -> int:
                       learning_rate=args.learning_rate, seed=args.seed)
     state = None
     if args.resume:
-        from dvsg_tpu.utils.checkpoint import load_checkpoint
-        import jax.numpy as jnp
-        params, mcfg, step = load_checkpoint(args.checkpoint)
-        if mcfg != cfg.model:
-            print("ERROR: --resume config mismatch with checkpoint",
-                  file=sys.stderr)
+        try:
+            state = loop.load_train_state(cfg, args.checkpoint)
+        except ValueError as e:
+            print(f"ERROR: --resume: {e}", file=sys.stderr)
             return 2
-        opt = loop.make_optimizer(cfg)
-        state = loop.TrainState(params, opt.init(params),
-                                jnp.asarray(step, jnp.int32))
-        print(f"resuming from step {step}")
+        print(f"resuming from step {int(state.step)}")
     loop.train(cfg, checkpoint_dir=args.checkpoint, state=state)
     print(f"saved checkpoint to {args.checkpoint}")
     return 0

@@ -52,6 +52,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tp_param_sharding(mesh: Mesh, params):
+    """Tensor-parallel sharding spec for the CNN parameter pytree.
+
+    Shards every conv kernel's OUTPUT-feature axis (the trailing dim of
+    (kh, kw, cin, cout) leaves) over ``model`` when it divides the axis
+    size; everything else (biases, norm scales) is replicated. This is the
+    "TP is a mesh-spec change, not a rewrite" disposition of SURVEY.md
+    §2.3: apply these shardings via jit in_shardings and GSPMD emits the
+    activation collectives — no model-code change. The CNN is small enough
+    that TP is off by default; tests/test_parallel.py demonstrates output
+    equality with the unsharded model on a ("data", "model") mesh.
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh has no {MODEL_AXIS!r} axis: "
+                         f"{mesh.axis_names}")
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def leaf_sharding(leaf):
+        if leaf.ndim == 4 and leaf.shape[-1] % n_model == 0:
+            return NamedSharding(
+                mesh, P(None, None, None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, params)
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):

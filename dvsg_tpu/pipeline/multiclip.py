@@ -8,8 +8,9 @@ bounded queues); encode likewise, so host I/O overlaps device compute the
 same way the single-clip overlapped driver does.
 
 Clips of different lengths are handled by replicate-padding finished clips
-until the longest clip ends (their outputs are dropped); clips must share
-one resolution (the CLI resizes on decode via VideoReader).
+until the longest clip ends (their outputs are dropped). Clips must share
+one resolution — ``stabilize_multi`` raises on a mixed-resolution batch
+(VideoReader does not resize to a target resolution).
 """
 
 from __future__ import annotations
@@ -149,8 +150,13 @@ def stabilize_multi(cfg: StabilizeConfig, params,
         flush(pending)
     for q in enc_qs:
         q.put(_SENTINEL)
+    # Join without timeout: decode workers have terminated (their final
+    # short batch was consumed above) and the sentinel guarantees encode
+    # workers exit once their queues drain. A timed join here could return
+    # while encoders still write, and the caller's writer.close() would
+    # then race the in-flight writes and truncate outputs.
     for t in threads:
-        t.join(timeout=60)
+        t.join()
     if errors:
         raise errors[0]
     return written

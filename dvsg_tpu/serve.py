@@ -27,6 +27,12 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+# Container formats VideoWriter can encode; anything else is rejected with
+# a clear 400 (the raw query value otherwise leaks into temp filenames and
+# the Content-Type header).
+_ALLOWED_FORMATS = frozenset({"mp4", "m4v", "mov", "avi", "mkv", "webm"})
+
+
 class _State:
     stabilizer = None
     lock = threading.Lock()     # device worker serialization
@@ -70,6 +76,11 @@ def _build_handler(state: _State):
             fmt = "mp4"
             if "format=" in self.path:
                 fmt = self.path.split("format=")[1].split("&")[0]
+            if fmt not in _ALLOWED_FORMATS:
+                self._json(400, {
+                    "error": f"unsupported format {fmt!r}; allowed: "
+                             + ", ".join(sorted(_ALLOWED_FORMATS))})
+                return
             try:
                 out_bytes, n = _stabilize_bytes(state, data, fmt)
             except Exception as e:

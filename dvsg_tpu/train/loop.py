@@ -212,6 +212,30 @@ def train(cfg: TrainConfig, checkpoint_dir: Optional[str] = None,
                 (step + 1) % cfg.checkpoint_every == 0
                 or step == cfg.steps - 1):
             from dvsg_tpu.utils import checkpoint as ckpt
-            ckpt.save_checkpoint(checkpoint_dir, jax.device_get(state.params),
+            host_state = jax.device_get(state)
+            ckpt.save_checkpoint(checkpoint_dir, host_state.params,
                                  cfg.model, step=step + 1)
+            # Full state too, so --resume restores optimizer moments and
+            # schedule position instead of re-warming the LR.
+            ckpt.save_train_state(checkpoint_dir, host_state._asdict(),
+                                  step=step + 1)
     return state
+
+
+def load_train_state(cfg: TrainConfig, checkpoint_dir: str) -> TrainState:
+    """Restore the full TrainState saved by train(); falls back to a
+    params-only checkpoint (fresh optimizer, old behavior) when only the
+    legacy format exists."""
+    from dvsg_tpu.utils import checkpoint as ckpt
+
+    target = jax.eval_shape(
+        lambda: init_state(cfg, jax.random.key(0)))._asdict()
+    if ckpt.latest_train_state_step(checkpoint_dir) is not None:
+        state, _ = ckpt.load_train_state(checkpoint_dir, target)
+        return TrainState(**state)
+    params, mcfg, step = ckpt.load_checkpoint(checkpoint_dir)
+    if mcfg != cfg.model:
+        raise ValueError("checkpoint model config mismatch")
+    opt = make_optimizer(cfg)
+    return TrainState(params, opt.init(params),
+                      jnp.asarray(step, jnp.int32))

@@ -20,6 +20,7 @@ from dvsg_tpu.config import ModelConfig, config_to_json, model_config_from_dict
 
 _CONFIG_FILE = "model_config.json"
 _PARAMS_DIR = "params"
+_STATE_DIR = "train_state"
 
 
 def save_checkpoint(path: str, params, cfg: ModelConfig, step: int = 0):
@@ -59,6 +60,42 @@ def load_checkpoint(path: str, step: Optional[int] = None
         params = ckptr.restore(
             os.path.join(path, _PARAMS_DIR, str(step)), target)
     return params, cfg, step
+
+
+def save_train_state(path: str, state_dict: dict, step: int):
+    """Save the FULL training state (params + opt_state + step) so a
+    resumed run keeps its optimizer moments and schedule position instead
+    of re-warming the LR mid-run. ``state_dict`` is a plain pytree dict,
+    e.g. ``state._asdict()`` of train.loop.TrainState (host arrays)."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, _STATE_DIR, str(step)), state_dict,
+                   force=True)
+
+
+def latest_train_state_step(path: str) -> Optional[int]:
+    sdir = os.path.join(os.path.abspath(path), _STATE_DIR)
+    if not os.path.isdir(sdir):
+        return None
+    steps = [int(d) for d in os.listdir(sdir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def load_train_state(path: str, target: dict,
+                     step: Optional[int] = None) -> Tuple[dict, int]:
+    """Restore a save_train_state dict; ``target`` is a matching abstract
+    pytree (e.g. from jax.eval_shape over init_state). Returns
+    (state_dict, step)."""
+    path = os.path.abspath(path)
+    if step is None:
+        step = latest_train_state_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no train_state checkpoints under {path}")
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(
+            os.path.join(path, _STATE_DIR, str(step)), target)
+    return state, step
 
 
 def export_npz(path: str, params, cfg: ModelConfig):

@@ -33,10 +33,19 @@ def is_frame_dir(path: str) -> bool:
     return os.path.isdir(path)
 
 
+def _natural_key(name: str):
+    """Sort key treating digit runs numerically, so unpadded numeric frame
+    names (frame1, frame2, ..., frame10) keep temporal order."""
+    import re
+    return [int(p) if p.isdigit() else p
+            for p in re.split(r"(\d+)", name.lower())]
+
+
 def list_frames(path: str) -> Sequence[str]:
     names = sorted(
-        n for n in os.listdir(path)
-        if os.path.splitext(n)[1].lower() in _IMAGE_EXTS
+        (n for n in os.listdir(path)
+         if os.path.splitext(n)[1].lower() in _IMAGE_EXTS),
+        key=_natural_key,
     )
     return [os.path.join(path, n) for n in names]
 
@@ -183,6 +192,7 @@ class VideoWriter:
             self._writer = None
             self._dir = path
             os.makedirs(path, exist_ok=True)
+        self._bgr_scratch = np.empty((height, width, 3), np.uint8)
 
     @property
     def appendable(self) -> bool:
@@ -199,7 +209,12 @@ class VideoWriter:
 
     def write(self, frame: np.ndarray):
         """frame: (H, W, 3) uint8 RGB."""
-        bgr = np.ascontiguousarray(frame[..., ::-1])
+        # RGB->BGR is the same channel swap as BGR->RGB; route it through
+        # the native staging swizzle (parallel fused pass) like the decode
+        # path, instead of a single-threaded numpy flip copy.
+        out = (self._bgr_scratch
+               if frame.shape == self._bgr_scratch.shape else None)
+        bgr = staging.bgr_to_rgb(frame, out=out)
         if self._writer is not None:
             self._writer.write(bgr)
         else:

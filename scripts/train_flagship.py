@@ -59,13 +59,11 @@ def main():
     print(f"backend={jax.default_backend()} devices={n_dev}")
     state = loop.init_state(tcfg, jax.random.key(args.seed))
     start_step = 0
-    if args.resume and os.path.exists(os.path.join(args.out, "params")):
-        params, mcfg2, start_step = ckpt.load_checkpoint(args.out)
-        assert mcfg2 == mcfg, "resume config mismatch"
-        import jax.numpy as jnp
-        opt = loop.make_optimizer(tcfg)
-        state = loop.TrainState(params, opt.init(params),
-                                jnp.asarray(start_step, jnp.int32))
+    if args.resume and os.path.isdir(args.out):
+        # Full-state restore: keeps Adam moments + schedule position
+        # (falls back to params-only for legacy checkpoints).
+        state = loop.load_train_state(tcfg, args.out)
+        start_step = int(state.step)
         print(f"resumed at step {start_step}")
 
     rng = jax.random.key(tcfg.seed)
@@ -88,8 +86,10 @@ def main():
                   f"offset={aux['offset']:.6f} ({rate:.1f} steps/s)",
                   flush=True)
         if step and step % 1000 == 0:
-            params = jax.device_get(state.params)
-            ckpt.save_checkpoint(args.out, params, mcfg, step=step)
+            host_state = jax.device_get(state)
+            ckpt.save_checkpoint(args.out, host_state.params, mcfg,
+                                 step=step)
+            ckpt.save_train_state(args.out, host_state._asdict(), step=step)
 
     params = jax.device_get(state.params)
     ckpt.save_checkpoint(args.out, params, mcfg, step=tcfg.steps)

@@ -39,6 +39,20 @@ class TestFrameDirIO:
         with pytest.raises(FileNotFoundError):
             video_io.VideoReader("/nonexistent/path.mp4")
 
+    def test_unpadded_numeric_names_sort_temporally(self, tmp_path):
+        """frame1, frame2, ..., frame10 must read in temporal order, not
+        lexicographic (frame1, frame10, frame2) — ADVICE r1."""
+        import cv2
+        d = tmp_path / "frames"
+        d.mkdir()
+        for i in range(1, 12):
+            img = np.full((8, 8, 3), i, np.uint8)
+            cv2.imwrite(str(d / f"frame{i}.png"), img)
+        with video_io.VideoReader(str(d)) as r:
+            frames = r.read_batch(11)
+        np.testing.assert_array_equal(frames[:, 0, 0, 0],
+                                      np.arange(1, 12, dtype=np.uint8))
+
     def test_empty_dir(self, tmp_path):
         d = tmp_path / "empty"
         d.mkdir()
@@ -121,6 +135,13 @@ class TestCLI:
         assert rc == 0
         with video_io.VideoReader(dst) as r:
             assert r.read_batch(32).shape == frames.shape
+
+    def test_overlap_with_resume_rejected(self, tmp_path, capsys):
+        rc = cli.stabilize_main([
+            "--input", "whatever", "--output", "whatever2",
+            "--overlap", "--resume-dir", str(tmp_path / "r")])
+        assert rc == 2
+        assert "no resume support" in capsys.readouterr().err
 
     def test_unknown_command(self):
         assert cli.main(["frobnicate"]) == 2

@@ -54,6 +54,62 @@ class TestShardedClips:
             dp.ShardedClipStabilizer(CFG, params, m).stabilize_clips(clips)
 
 
+class TestTensorParallel:
+    """SURVEY.md §2.3 TP row: enabling TP is a mesh-spec change, not a
+    rewrite — conv output channels shard over a "model" axis and GSPMD
+    emits the collectives; outputs match the unsharded model."""
+
+    def test_conv_channel_sharding_matches_unsharded(self, params, rng):
+        m = mesh_lib.make_mesh((4, 2), axis_names=("data", "model"))
+        p_shard = mesh_lib.tp_param_sharding(m, params)
+        # The spec must actually shard something (conv kernels), and at
+        # least one leaf must be replicated (biases).
+        specs = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda s: s.spec, p_shard,
+                                   is_leaf=lambda x: hasattr(x, "spec")))
+        assert any(mesh_lib.MODEL_AXIS in str(s) for s in specs)
+
+        windows = jnp.asarray(
+            rng.random((8, 32, 32, 3 * MCFG.window), np.float32) - 0.5)
+        ref = motion_cnn.predict_offsets(MCFG, params, windows)
+
+        params_tp = jax.device_put(params, p_shard)
+        fn = jax.jit(
+            lambda p, w: motion_cnn.predict_offsets(MCFG, p, w),
+            in_shardings=(p_shard, mesh_lib.data_sharding(m, ndim=4)),
+        )
+        out = fn(params_tp, windows)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_tp_sharding_requires_model_axis(self, params):
+        m = mesh_lib.make_mesh()        # data-only mesh
+        with pytest.raises(ValueError):
+            mesh_lib.tp_param_sharding(m, params)
+
+
+class TestInitDistributed:
+    def test_single_process_noop(self):
+        # No coordinator → single-process path must be a no-op (the
+        # multi-host jax.distributed bring-up itself needs a real cluster;
+        # arg plumbing is covered by inspection of the call signature).
+        assert mesh_lib.init_distributed() is None
+
+    def test_arg_plumbing(self, monkeypatch):
+        seen = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            seen.update(coordinator_address=coordinator_address,
+                        num_processes=num_processes, process_id=process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        mesh_lib.init_distributed("10.0.0.1:1234", num_processes=4,
+                                  process_id=1)
+        assert seen == {"coordinator_address": "10.0.0.1:1234",
+                        "num_processes": 4, "process_id": 1}
+
+
 class TestDPTraining:
     def test_dp_step_matches_single_device(self):
         tcfg = TrainConfig(model=MCFG, batch_size=8, steps=20,

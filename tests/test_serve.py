@@ -74,6 +74,15 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+    # Unknown format values are rejected with a clear 400 (ADVICE r1:
+    # must not leak into temp filenames / the Content-Type header).
+    req = urllib.request.Request(
+        server + "/stabilize?format=../../evil", data=b"garbage",
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert "unsupported format" in e.value.read().decode()
 
 
 def test_concurrent_requests(server, tmp_path, rng):

@@ -64,6 +64,35 @@ def test_checkpoint_latest_step(tmp_path):
     assert ckpt.latest_step(str(tmp_path / "c")) == 5
 
 
+def test_full_train_state_resume_keeps_optimizer(tmp_path):
+    """--resume must restore Adam moments + schedule position, not rebuild
+    them (ADVICE r1): a resumed state is bit-identical to the uninterrupted
+    one."""
+    cfg = TrainConfig(model=MCFG, batch_size=4, steps=6, warmup_steps=2,
+                      learning_rate=1e-3, checkpoint_every=3)
+    d = str(tmp_path / "c")
+    # Uninterrupted run.
+    full = loop.train(cfg, checkpoint_dir=d, log_every=0)
+    # load_train_state picks the latest full-state checkpoint by default.
+    latest = loop.load_train_state(cfg, d)
+    assert int(latest.step) == 6
+    # Resume from the intermediate step-3 checkpoint and finish the run.
+    state3, _ = ckpt.load_train_state(
+        d, jax.eval_shape(lambda: loop.init_state(
+            cfg, jax.random.key(0)))._asdict(), step=3)
+    resumed = loop.TrainState(**state3)
+    assert int(resumed.step) == 3
+    # opt_state must carry nonzero Adam moments (not re-initialized).
+    mu_leaves = jax.tree_util.tree_leaves(resumed.opt_state)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in mu_leaves
+               if hasattr(l, "shape") and np.ndim(l) > 0)
+    out = loop.train(cfg, checkpoint_dir=None, state=resumed, log_every=0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0),
+        jax.device_get(full.params), jax.device_get(out.params))
+
+
 def test_resume_state_sidecar(tmp_path):
     d = tmp_path / "c"
     d.mkdir()
