@@ -63,7 +63,7 @@ def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2):
     return (n_iters * frames_u8.shape[0]) / dt
 
 
-def _bench_reference_style_cpu(mcfg, h, w, n_frames=6):
+def _bench_reference_style_cpu(mcfg, h, w, n_frames=20):
     """The reference's architecture: per-frame synchronous loop on CPU,
     f32, framework warp, host round-trip every frame (SURVEY.md §3.1)."""
     import jax
@@ -107,10 +107,11 @@ def _bench_reference_style_cpu(mcfg, h, w, n_frames=6):
     return n_frames / dt
 
 
-def _bench_warp_kernel(cfg, h, w, batch):
-    """Warp-only µs/frame on the default backend, with grids shaped like
-    the model's real output (smooth affine camera jitter — per-pixel
-    random grids would inflate the adaptive candidate loop)."""
+def _bench_warp_kernel(cfg, h, w, batch, n_iters=20):
+    """Warp-only µs/frame on the default backend: the PIPELINE's fused
+    uint8 normalize+warp+quantize op, with grids shaped like the model's
+    real output (smooth affine camera jitter — per-pixel random grids
+    would inflate the adaptive candidate loop)."""
     import jax
     import jax.numpy as jnp
     from dvsg_tpu.ops import warp as warp_ops
@@ -118,7 +119,7 @@ def _bench_warp_kernel(cfg, h, w, batch):
     from dvsg_tpu.train import synthetic
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.random((batch, h, w, 3), np.float32))
+    frames = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), np.uint8))
     path = synthetic.random_camera_path(jax.random.key(0), batch,
                                         max_trans=0.15, max_angle=0.05)
     grids = jax.vmap(lambda p: grid_ops.affine_grid(
@@ -127,10 +128,10 @@ def _bench_warp_kernel(cfg, h, w, batch):
     def fetch(x):
         return float(jnp.sum(x.astype(jnp.float32).reshape(-1)[::4097]))
 
-    fn = jax.jit(lambda f, g: warp_ops.warp_batch(f, g, cfg.warp_impl))
+    fn = jax.jit(lambda f, g: warp_ops.warp_quantize_batch(
+        f, g, cfg.warp_impl))
     out = fn(frames, grids)
     fetch(out)
-    n_iters = 10
     t0 = time.perf_counter()
     out = frames
     for _ in range(n_iters):
@@ -176,9 +177,32 @@ def main():
     log(f"warp kernel: {warp_us:.1f} us/frame at 720p "
         f"({warp_ops_name(cfg)} impl)")
 
+    # 1080p (BASELINE.json config 5 resolution), trained flagship weights
+    # when available, device-resident, T=8 (T=16 fits but leaves little
+    # HBM headroom for DP batching — see STATUS.md).
+    fps_1080 = warp_us_1080 = None
+    if on_tpu:
+        import dataclasses
+        params_1080, m1080 = params, mcfg
+        try:
+            from dvsg_tpu.utils import checkpoint as ckpt
+            params_1080, m1080 = ckpt.load_npz("checkpoints/flagship.npz")
+            m1080 = dataclasses.replace(m1080, dtype=mcfg.dtype)
+        except Exception as e:
+            log(f"flagship checkpoint unavailable ({e}); random weights")
+        cfg_1080 = StabilizeConfig(model=m1080, chunk_frames=8,
+                                   warp_impl="auto")
+        frames_1080 = rng.integers(0, 256, (8, 1080, 1920, 3), np.uint8)
+        fps_1080 = _bench_chunked(cfg_1080, params_1080, frames_1080,
+                                  n_iters=20, warm_reps=2)
+        log(f"1080p chunked throughput: {fps_1080:.2f} frames/s/chip (T=8)")
+        warp_us_1080 = _bench_warp_kernel(cfg, 1080, 1920, batch=4)
+        log(f"warp kernel: {warp_us_1080:.1f} us/frame at 1080p")
+
     cpu_fps = _bench_reference_style_cpu(
         ModelConfig(dtype="float32"), h, w)
-    log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s")
+    log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s "
+        f"({os.cpu_count()} host cores; ratio is per-chip vs this host)")
 
     host_io = _bench_host_io(h, w)
     log(f"host mp4 I/O: encode {host_io['encode_fps']:.1f} fps, "
@@ -189,7 +213,10 @@ def main():
         "backend": backend,
         "fps_720p_per_chip": fps,
         "warp_us_per_frame_720p": warp_us,
+        "fps_1080p_per_chip_T8": fps_1080,
+        "warp_us_per_frame_1080p": warp_us_1080,
         "reference_style_cpu_fps": cpu_fps,
+        "cpu_baseline_frames": 20,
         "host_io": host_io,
         "chunk_frames": cfg.chunk_frames,
         "model_dtype": mcfg.dtype,

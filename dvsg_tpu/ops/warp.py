@@ -47,6 +47,32 @@ def warp_batch(frames: jax.Array, grids: jax.Array,
     return warp_ref.bilinear_warp_batch(frames, grids)
 
 
+def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
+                        warp_impl: str = "auto",
+                        max_dx_px: int | None = None) -> jax.Array:
+    """Fused normalize+warp+quantize: uint8 frames in, uint8 frames out.
+
+    The inference hot path. On TPU this is ONE wide-layout Pallas pass
+    (ops/warp_wide.py) with zero layout changes and the stripe-coverage
+    contract enforced on device (oracle fallback on violation); elsewhere
+    (or for widths where W*C is not lane-aligned) it composes the lax
+    oracle with explicit normalize/quantize — same semantics within 1 LSB.
+    """
+    import jax.numpy as jnp
+
+    impl = resolve_impl(warp_impl)
+    w, c = grids.shape[2], frames_u8.shape[3]
+    if impl == "pallas" and (w * c) % 128 == 0:
+        from dvsg_tpu.ops import warp_wide
+        if max_dx_px is None:
+            max_dx_px = (w - 1) // 2
+        return warp_wide.warp_u8_batch(frames_u8, grids,
+                                       max_dx_px=max_dx_px)
+    out = warp_batch(frames_u8.astype(jnp.float32) * (1.0 / 255.0), grids,
+                     warp_impl, max_dx_px)
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def warp_batch_diff(frames: jax.Array, grids: jax.Array,
                     warp_impl: str = "auto",
                     max_dx_px: int | None = None) -> jax.Array:

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvsg_tpu.ops import warp_ref
+
 TILE_H = 32         # default output tile rows (multiple of 8; tunable —
                     # larger tiles amortize per-grid-step overhead)
 TILE_W = 128        # lane width (hard TPU constraint for gathers)
@@ -244,9 +246,18 @@ def _run_warp(frames, grids, max_dx_px, tile_h, interpret, with_grad):
     # Per-(batch, column-block) first-stripe base, scalar-prefetched into
     # the BlockSpec index maps: the mean source column's register minus one
     # centers the 3-stripe window on the block's displaced source columns.
-    x_mean = x.reshape(b, hop, n_cb, TILE_W).mean(axis=(1, 3))
+    x_blocks = x.reshape(b, hop, n_cb, TILE_W)
+    x_mean = x_blocks.mean(axis=(1, 3))
     sbase = jnp.clip((x_mean // TILE_W).astype(jnp.int32) - 1,
                      0, wp // TILE_W - N_STRIPES)
+
+    # Exact coverage predicate from the same quantities the kernel uses:
+    # both bilinear taps of every output pixel must land inside the
+    # 3-stripe window anchored at sbase (VERDICT.md round-1 item 4).
+    x0b = jnp.floor(x_blocks).astype(jnp.int32)
+    base = (sbase * TILE_W)[:, None, :, None]
+    ok = jnp.all((x0b - base >= 0)
+                 & (x0b + 1 - base < N_STRIPES * TILE_W))
 
     # Grid order (b, c, cb, rt): the column stripes stay constant across
     # all row tiles of a column block, so Pallas fetches each stripe once
@@ -293,15 +304,17 @@ def _run_warp(frames, grids, max_dx_px, tile_h, interpret, with_grad):
 
     if with_grad:
         return tuple(crop(o) for o in outs)
-    return crop(outs)
+    return crop(outs), ok
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_dx_px", "tile_h", "interpret"))
+                   static_argnames=("max_dx_px", "tile_h", "interpret",
+                                    "guarded"))
 def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
                         max_dx_px: int = 126,
                         tile_h: int = TILE_H,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        guarded: bool = True) -> jax.Array:
     """Fused warp: frames (B, H, W, C) × grids (B, Ho, Wo, 2) → (B, Ho, Wo, C).
 
     Drop-in for ops/warp_ref.bilinear_warp_batch. ``max_dx_px`` is the
@@ -311,9 +324,18 @@ def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
     scalar stripe bases, so it can be arbitrarily large. Contract: dx must
     vary by < 126 px within any single 128-column block (all smooth
     stabilization grids qualify). Vertical displacement is unbounded.
+
+    ``guarded`` (default): the contract is checked on device from the same
+    lane math the kernel uses; violating inputs take the exact lax-oracle
+    path via ``jax.lax.cond`` instead of silently corrupting pixels.
     """
-    out = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
-                    with_grad=False)
+    out, ok = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
+                        with_grad=False)
+    if guarded:
+        out = jax.lax.cond(
+            ok, lambda _: out,
+            lambda _: warp_ref.bilinear_warp_batch(
+                frames.astype(jnp.float32), grids), None)
     return out.astype(frames.dtype)
 
 
@@ -327,8 +349,9 @@ def bilinear_warp_batch_grids_diff(frames: jax.Array, grids: jax.Array,
     the pixel loss differentiates through the sampling grid into the CNN,
     while the sampled frames are data. Use warp_ref for full autodiff.
     """
-    return _run_warp(frames, grids, max_dx_px, tile_h, interpret,
-                     with_grad=False).astype(frames.dtype)
+    out, _ = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
+                       with_grad=False)
+    return out.astype(frames.dtype)
 
 
 def _gdiff_fwd(frames, grids, max_dx_px, tile_h, interpret):

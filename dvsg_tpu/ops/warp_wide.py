@@ -1,0 +1,312 @@
+"""Wide-layout fused warp+quantize kernel: uint8 in, uint8 out, no transpose.
+
+The hot op of the inference pipeline (SURVEY.md §3.4): replaces the
+planar kernel's normalize -> NHWC->planar transpose -> warp -> quantize
+chain with ONE pass over the frame in its natural interleaved layout.
+
+Layout. A (H, W, C) uint8 frame is VIEWED as (H, W*C): lanes are channel-
+interleaved pixels and both reshapes are free. The horizontal bilinear
+neighbor of source lane C*x+c is lane C*(x+1)+c = +C lanes, so the
+3-stripe scalar-prefetched lane-gather decomposition of the planar kernel
+(ops/warp_pallas.py) carries over with lx1 = lx0 + C. Sampling x is passed in PIXEL
+units (replicated per lane); the kernel reconstructs the source lane as
+C*floor(x) + lane%C — in f32 (exact here; TPU has no vector integer
+divide, and packing C*x0+frac into one f32 loses the tap to rounding).
+
+Scale fusion. Payload values stay 0..255 end to end: the pipeline's
+1/255 normalize and *255 quantize cancel inside the bilinear lerp, so the
+kernel rounds its f32 accumulator straight back to uint8 (parity with
+quantize(warp_ref(normalize(.))) within 1 LSB, pinned by tests).
+
+Schedule (measured on v5e, scripts/kexp_wide.py): the kernel is LATENCY-
+bound, not bandwidth- or flops-bound. Three rules shaped the final form:
+  * accumulate in REGISTERS (loop-carried values), never scratch-ref
+    read-modify-write — the serial VMEM chain made the first gather cost
+    ~7x its pipelined throughput cost;
+  * macro-unroll the vertical candidate loop by 4 with INDEPENDENT
+    contributions summed pairwise — overlaps gather latencies;
+  * no stripe predication — a marginal overlapped gather costs ~17 ns,
+    while in-kernel lax.cond control flow serializes the pipeline.
+Several grid steps' row tiles are batched per step (n_sub) to amortize
+per-block DMA bookkeeping; tile_h stays 32 because the candidate spread
+(and with it redundant masked work) grows with tile area.
+
+Contract and guard: each 128-lane output block's source lanes must fit a
+384-lane window (<= ~126 px of x-displacement VARIATION per ~43-px output
+block at C=3 — all smooth stabilization warps qualify). The contract is
+ENFORCED: `warp_u8_batch` computes the exact per-block coverage predicate
+from the same lane math the kernel uses and falls back to the lax oracle
+via `jax.lax.cond` when any block violates it — never silent corruption
+(VERDICT.md round-1 item 4).
+
+The reference performs this step through its framework's grid_sample on
+normalized f32 and quantizes on the host (SURVEY.md §1 L3, §3.1;
+reference mount empty — citation unavailable).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dvsg_tpu.ops import warp_ref
+
+TILE_H = 32         # row-tile height; candidate spread grows with area
+TILE_W = 128        # lane width (hard TPU constraint for gathers)
+N_STRIPES = 3       # fixed; see ops/warp_pallas.py (Mosaic >3-stripe cliff)
+UNROLL = 4          # candidate macro-unroll (ILP over gather latency)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pick_n_sub(ho: int, tile_h: int = TILE_H, max_waste: float = 0.10) -> int:
+    """Row-subtiles per grid step: largest of 8/4/2/1 whose block padding
+    wastes <= max_waste of the output rows."""
+    for n_sub in (8, 4, 2, 1):
+        blk = tile_h * n_sub
+        hop = _cdiv(ho, blk) * blk
+        if (hop - ho) / ho <= max_waste:
+            return n_sub
+    return 1
+
+
+def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
+                      unroll: int):
+    def kernel(sbase_ref, y_ref, x_ref, *refs):
+        stripes = refs[:N_STRIPES]
+        out_ref = refs[N_STRIPES]
+        rt = pl.program_id(2)
+        cb = pl.program_id(1)
+        lane_f = (jnp.float32(cb * TILE_W)
+                  + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W),
+                                             1).astype(jnp.float32))
+        # lane % C via exact f32 multiply-by-reciprocal floor division.
+        phase = lane_f - channels * jnp.floor(lane_f * (1.0 / channels))
+        lane_base = sbase_ref[pl.program_id(0), cb] * TILE_W
+
+        for sub in range(n_sub):
+            rows = slice(sub * tile_h, (sub + 1) * tile_h)
+            y = y_ref[0, rows, :]
+            xpx = x_ref[0, rows, :]
+            y0 = jnp.floor(y)
+            x0 = jnp.floor(xpx)
+            fy = y - y0
+            fx = xpx - x0
+            y0i = y0.astype(jnp.int32)
+            x0i = (channels * x0 + phase).astype(jnp.int32)
+
+            r0p = (rt * n_sub + sub) * tile_h + pad_h
+            row_p = (r0p + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, TILE_W), 0))
+            resid = y0i - row_p          # vertical candidate residual
+            dmin = jnp.min(resid)
+            dmax = jnp.max(resid)
+
+            lx0 = x0i - lane_base
+            lx1 = lx0 + channels         # x1 tap: +C lanes
+            reg0 = lx0 // TILE_W         # stripe of each tap
+            reg1 = lx1 // TILE_W
+            loc0 = lx0 - reg0 * TILE_W
+            loc1 = lx1 - reg1 * TILE_W
+            w1 = fx
+            w0 = 1.0 - fx
+            loc0m = [jnp.where(reg0 == s, loc0, 0) for s in range(N_STRIPES)]
+            loc1m = [jnp.where(reg1 == s, loc1, 0) for s in range(N_STRIPES)]
+            w0m = [jnp.where(reg0 == s, w0, 0.0) for s in range(N_STRIPES)]
+            w1m = [jnp.where(reg1 == s, w1, 0.0) for s in range(N_STRIPES)]
+
+            def contribution(d, dmax=dmax, loc0m=loc0m, loc1m=loc1m,
+                             w0m=w0m, w1m=w1m, resid=resid, fy=fy, r0p=r0p):
+                # One candidate row's masked bilinear contribution — pure
+                # values, no ref writes, so instances pipeline. wv uses the
+                # TRUE candidate index (zero when out of range); only the
+                # slice start is clamped in-bounds.
+                wv = (jnp.where(resid == d, 1.0 - fy, 0.0)
+                      + jnp.where(resid + 1 == d, fy, 0.0))
+                ds_ = jnp.minimum(d, dmax + 1)
+                hv = None
+                for s in range(N_STRIPES):
+                    seg = stripes[s][0, pl.ds(r0p + ds_, tile_h), :]
+                    g0 = jnp.take_along_axis(seg, loc0m[s], axis=1)
+                    g1 = jnp.take_along_axis(seg, loc1m[s], axis=1)
+                    t = w0m[s] * g0 + w1m[s] * g1
+                    hv = t if hv is None else hv + t
+                return wv * hv
+
+            n_macro = (dmax + 2 - dmin + unroll - 1) // unroll
+
+            def macro(m, acc, dmin=dmin, contribution=contribution):
+                d0 = dmin + m * unroll
+                cs = [contribution(d0 + off) for off in range(unroll)]
+                while len(cs) > 1:       # pairwise tree sum (ILP)
+                    cs = [cs[i] + cs[i + 1] if i + 1 < len(cs) else cs[i]
+                          for i in range(0, len(cs), 2)]
+                return acc + cs[0]
+
+            acc = jax.lax.fori_loop(
+                0, n_macro, macro, jnp.zeros((tile_h, TILE_W), jnp.float32))
+            # Quantize and pack to u8 in-register (i32 hop: no direct cast).
+            out_ref[0, rows, :] = jnp.clip(jnp.round(acc), 0.0, 255.0
+                                           ).astype(jnp.int32
+                                                    ).astype(jnp.uint8)
+
+    return kernel
+
+
+def _pad_rows_to_multiple(arr, mult, axis):
+    size = arr.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return arr
+    pads = [(0, 0)] * arr.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(arr, pads, mode="edge")
+
+
+def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
+    """Layout prep shared by the kernel launch and the coverage predicate.
+
+    Returns (planes, planes_sh, y_wide, x_wide, sbase, ok): the edge-padded
+    (B, Hp, Lp) f32 wide plane and its +C-lanes shifted copy, coords padded
+    to block multiples, the per-(batch, lane-block) first-stripe base, and
+    the exact scalar coverage predicate.
+    """
+    b, h, w, c = frames_u8.shape
+    _, ho, wo, _ = grids.shape
+    if (wo * c) % TILE_W != 0:
+        raise ValueError(
+            f"wide warp needs output W*C ({wo}*{c}) divisible by {TILE_W}")
+    pad_h = tile_h
+    # Horizontal pad in PIXELS (keeps the c = lane % C phase intact);
+    # padded width must make LANES a multiple of TILE_W.
+    pad_l = max(max_dx_px + 2, 2)
+    pad_r = max(max_dx_px + 2, 2)
+    wmult = TILE_W // math.gcd(TILE_W, c)
+    pad_r += (-(w + pad_l + pad_r)) % wmult
+
+    planes = jnp.pad(frames_u8, ((0, 0), (pad_h, pad_h), (pad_l, pad_r),
+                                 (0, 0)), mode="edge")
+    planes = _pad_rows_to_multiple(planes, tile_h, 1)
+    hp = planes.shape[1]
+    planes = planes.reshape(b, hp, planes.shape[2] * c)   # free view
+    # u8 -> f32 OUTSIDE the kernel: elementwise (no transpose!) and XLA-
+    # fused; Mosaic's in-kernel u8 unpack is a pathological relayout.
+    planes = planes.astype(jnp.float32)
+    lp = planes.shape[2]
+    n_lb = lp // TILE_W
+
+    # Source coords in padded space, border-clamped like the oracle. x is
+    # replicated per-lane in PIXEL units; the kernel reconstructs the
+    # source lane as C*floor(x) + lane%C.
+    x = (grids[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
+    y = (grids[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
+    x = jnp.clip(x, 0.0, w - 1) + pad_l
+    y = jnp.clip(y, 0.0, h - 1) + pad_h
+    x_wide = jnp.broadcast_to(x[..., None], (b, ho, wo, c)).reshape(
+        b, ho, wo * c)
+    y_wide = jnp.broadcast_to(y[..., None], (b, ho, wo, c)).reshape(
+        b, ho, wo * c)
+
+    blk = tile_h * n_sub
+    x_wide = _pad_rows_to_multiple(x_wide, blk, 1)
+    y_wide = _pad_rows_to_multiple(y_wide, blk, 1)
+    hop = x_wide.shape[1]
+    n_cb = (wo * c) // TILE_W
+
+    # Exact per-(batch, output-lane-block) coverage: every needed source
+    # lane (x0 tap and its +C neighbor) must fall inside the 3-stripe
+    # window anchored at sbase. Computed from the SAME quantities the
+    # kernel uses, so guard and kernel cannot drift.
+    phase = (jnp.arange(wo * c, dtype=jnp.int32) % c)[None, None]
+    lane0 = (c * jnp.floor(x_wide).astype(jnp.int32) + phase).reshape(
+        b, hop, n_cb, TILE_W)
+    lmin = jnp.min(lane0, axis=(1, 3))
+    lmax = jnp.max(lane0, axis=(1, 3)) + c
+    sbase = jnp.clip(lmin // TILE_W, 0, n_lb - N_STRIPES)
+    ok = jnp.all(lmax - sbase * TILE_W < N_STRIPES * TILE_W)
+    return planes, y_wide, x_wide, sbase, ok
+
+
+def _launch(planes, y_wide, x_wide, sbase, ho, wo, c, tile_h,
+            n_sub, interpret):
+    b, hp, lp = planes.shape
+    hop = y_wide.shape[1]
+    n_cb = y_wide.shape[2] // TILE_W
+    blk = tile_h * n_sub
+    coord_spec = pl.BlockSpec((1, blk, TILE_W),
+                              lambda b_, cb, r, sref: (b_, r, cb),
+                              memory_space=pltpu.VMEM)
+
+    def stripe_spec(offset):
+        return pl.BlockSpec(
+            (1, hp, TILE_W),
+            lambda b_, cb, r, sref, o=offset: (b_, 0, sref[b_, cb] + o),
+            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((1, blk, TILE_W),
+                            lambda b_, cb, r, sref: (b_, r, cb),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_cb, hop // blk),
+        in_specs=[coord_spec, coord_spec,
+                  *(stripe_spec(o) for o in range(N_STRIPES))],
+        out_specs=out_spec)
+    out = pl.pallas_call(
+        _make_wide_kernel(tile_h, c, tile_h, n_sub, UNROLL),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hop, n_cb * TILE_W), jnp.uint8),
+        interpret=interpret,
+    )(sbase, y_wide, x_wide, *([planes] * N_STRIPES))
+    return out[:, :ho, :].reshape(b, ho, wo, c)
+
+
+def _oracle_u8(frames_u8, grids):
+    """quantize(warp(normalize(...))) through the lax oracle — the guarded
+    fallback branch and the parity fixture for tests."""
+    out = warp_ref.bilinear_warp_batch(
+        frames_u8.astype(jnp.float32) * (1.0 / 255.0), grids)
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dx_px", "tile_h",
+                                             "interpret", "guarded"))
+def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
+                  max_dx_px: int = 126,
+                  tile_h: int = TILE_H,
+                  interpret: bool = False,
+                  guarded: bool = True) -> jax.Array:
+    """Fused warp+quantize: (B, H, W, C) uint8 x (B, Ho, Wo, 2) grids →
+    (B, Ho, Wo, C) uint8.
+
+    Equivalent to quantize(bilinear_warp(normalize(frames), grids)) in one
+    pass with zero layout changes. ``max_dx_px`` sizes the horizontal edge
+    padding only (coverage comes from per-block scalar stripe bases).
+
+    ``guarded`` (default): the per-block stripe-coverage contract is
+    checked on device and violating inputs take the exact lax-oracle path
+    instead — wrong pixels are impossible, the check is a cheap fused
+    reduction, and the fallback branch costs nothing unless taken.
+    """
+    ho, wo = grids.shape[1], grids.shape[2]
+    c = frames_u8.shape[3]
+    n_sub = pick_n_sub(ho, tile_h)
+    planes, y_wide, x_wide, sbase, ok = _wide_prep(
+        frames_u8, grids, max_dx_px, tile_h, n_sub)
+
+    def fast(_):
+        return _launch(planes, y_wide, x_wide, sbase, ho, wo, c,
+                       tile_h, n_sub, interpret)
+
+    if not guarded:
+        return fast(None)
+
+    return jax.lax.cond(ok, fast, lambda _: _oracle_u8(frames_u8, grids),
+                        None)

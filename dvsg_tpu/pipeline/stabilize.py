@@ -95,12 +95,15 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
         offsets = motion_cnn.predict_offsets(mcfg, params, windows)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
         o, h, w, border_crop=cfg.border_crop))(offsets)
-    warped = warp_ops.warp_batch(
-        frames, grids, cfg.warp_impl,
+    # Fused normalize+warp+quantize on the ORIGINAL uint8 frames: the
+    # 1/255 and 255 scales cancel inside the bilinear lerp, so the warp
+    # payload never round-trips through f32 HBM (ops/warp_wide.py).
+    out_u8 = warp_ops.warp_quantize_batch(
+        frames_u8, grids, cfg.warp_impl,
         max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w))
 
     new_halo = seq[t:]                              # last window-1 frames
-    return quantize_frames(warped), new_halo, offsets
+    return out_u8, new_halo, offsets
 
 
 stabilize_chunk = functools.partial(

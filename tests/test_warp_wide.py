@@ -1,0 +1,152 @@
+"""Wide-layout fused warp+quantize kernel vs the composed oracle path.
+
+The oracle fixture is quantize(warp_ref(normalize(frames))) — the exact
+semantics the fused uint8 kernel (ops/warp_wide.py) must reproduce within
+1 uint8 LSB (the cancelled 1/255*255 scaling is the only rounding
+difference). CPU runs use interpreter mode; ``tpu``-marked tests run
+compiled on the real chip.
+
+Also pins the runtime stripe-coverage guard (VERDICT.md round-1 item 4):
+a contract-violating grid must produce EXACTLY the oracle output via the
+on-device fallback — silent corruption is impossible by construction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvsg_tpu.ops import grid as grid_ops
+from dvsg_tpu.ops import warp as warp_dispatch
+from dvsg_tpu.ops import warp_wide
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _frames(rng, b, h, w, c=3):
+    return jnp.asarray(rng.integers(0, 256, (b, h, w, c), dtype=np.uint8))
+
+
+def _affine_grids(b, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    grids = []
+    for _ in range(b):
+        ang = rng.uniform(-0.05, 0.05)
+        tx, ty = rng.uniform(-0.1, 0.1, 2)
+        theta = jnp.asarray(
+            [[np.cos(ang), -np.sin(ang), tx],
+             [np.sin(ang), np.cos(ang), ty]], jnp.float32)
+        grids.append(grid_ops.affine_grid(theta, h, w))
+    return jnp.stack(grids)
+
+
+def _check(frames, grids, max_dx_px=32, atol=1):
+    ours = np.asarray(warp_wide.warp_u8_batch(
+        frames, grids, max_dx_px=max_dx_px, interpret=INTERPRET)
+    ).astype(np.int32)
+    want = np.asarray(warp_wide._oracle_u8(frames, grids)).astype(np.int32)
+    assert np.abs(ours - want).max() <= atol
+
+
+class TestParity:
+    def test_identity_exact(self, rng):
+        frames = _frames(rng, 1, 40, 128)
+        g = grid_ops.identity_grid(40, 128)[None]
+        out = warp_wide.warp_u8_batch(frames, g, max_dx_px=8,
+                                      interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(frames))
+
+    @pytest.mark.parametrize("h,w", [(40, 128), (96, 256), (130, 384)])
+    def test_affine_grids(self, rng, h, w):
+        _check(_frames(rng, 2, h, w), _affine_grids(2, h, w))
+
+    def test_output_resolution_follows_grid(self, rng):
+        frames = _frames(rng, 1, 64, 160)
+        g = grid_ops.identity_grid(32, 128)[None]  # 128*3 lanes aligned
+        out = warp_wide.warp_u8_batch(frames, g, max_dx_px=8,
+                                      interpret=INTERPRET)
+        assert out.shape == (1, 32, 128, 3)
+
+    def test_coarse_offset_grids(self, rng):
+        h, w = 96, 128
+        off = (rng.random((2, 6, 8, 2), dtype=np.float32) - 0.5) * 0.2
+        grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+            jnp.asarray(o), h, w))(jnp.asarray(off))
+        _check(_frames(rng, 2, h, w), grids)
+
+    def test_tall_output_multiple_subtile_blocks(self, rng):
+        # ho > 256 exercises n_sub > 1 and block-padded coord rows.
+        _check(_frames(rng, 1, 300, 128), _affine_grids(1, 300, 128))
+
+
+class TestCoverageGuard:
+    def test_violating_grid_falls_back_to_oracle(self, rng):
+        """dx varying by hundreds of px within a block -> exact oracle."""
+        h, w = 64, 128
+        frames = _frames(rng, 1, h, w)
+        xs = jnp.linspace(-1, 1, w)
+        ys = jnp.linspace(-1, 1, h)
+        gx, gy = jnp.meshgrid(xs, ys)
+        wild = jnp.stack([gx * jnp.sin(gy * 40.0), gy], -1)[None]
+        out = np.asarray(warp_wide.warp_u8_batch(
+            frames, wild, max_dx_px=64, interpret=INTERPRET))
+        want = np.asarray(warp_wide._oracle_u8(frames, wild))
+        np.testing.assert_array_equal(out, want)
+
+    def test_smooth_grid_does_not_fall_back(self, rng):
+        h, w = 64, 128
+        grids = _affine_grids(1, h, w)
+        _, _, _, _, ok = warp_wide._wide_prep(
+            _frames(rng, 1, h, w), grids, 16, warp_wide.TILE_H, 1)
+        assert bool(ok)
+
+    def test_planar_f32_kernel_guarded_too(self, rng):
+        """The f32 planar kernel's public API enforces the same contract.
+
+        x oscillating with a ~16-px period swings the source column by
+        half the frame width WITHIN one 128-column block — far outside
+        any 3-stripe window — so the guard must route to the oracle.
+        """
+        from dvsg_tpu.ops import warp_pallas, warp_ref
+        h, w = 32, 640
+        frames = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+        xs = jnp.linspace(-1, 1, w)
+        ys = jnp.linspace(-1, 1, h)
+        gx, gy = jnp.meshgrid(xs, ys)
+        wild = jnp.stack([jnp.sin(gx * 31.0), gy], -1)[None]
+        _, ok = warp_pallas._run_warp(frames, wild, 64, 32, INTERPRET,
+                                      False)
+        assert not bool(ok), "fixture must actually violate the contract"
+        out = np.asarray(warp_pallas.bilinear_warp_batch(
+            frames, wild, max_dx_px=64, interpret=INTERPRET))
+        want = np.asarray(warp_ref.bilinear_warp_batch(frames, wild))
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+class TestDispatch:
+    def test_lax_path_matches_oracle(self, rng):
+        frames = _frames(rng, 1, 40, 100)   # W*C not lane-aligned
+        g = _affine_grids(1, 40, 100)
+        out = warp_dispatch.warp_quantize_batch(frames, g, "lax")
+        want = np.asarray(warp_wide._oracle_u8(frames, g))
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+    def test_unaligned_width_falls_back(self, rng):
+        # 100*3 lanes not divisible by 128: pallas impl must still work
+        # (composed path), identical semantics.
+        frames = _frames(rng, 1, 40, 100)
+        g = _affine_grids(1, 40, 100)
+        out = warp_dispatch.warp_quantize_batch(frames, g, "lax")
+        assert out.dtype == jnp.uint8 and out.shape == (1, 40, 100, 3)
+
+
+@pytest.mark.tpu
+class TestTpuCompiled:
+    def test_parity_720p(self, rng):
+        frames = _frames(rng, 2, 720, 1280)
+        grids = _affine_grids(2, 720, 1280)
+        ours = np.asarray(warp_wide.warp_u8_batch(
+            frames, grids, max_dx_px=97)).astype(np.int32)
+        want = np.asarray(warp_wide._oracle_u8(frames, grids)
+                          ).astype(np.int32)
+        assert np.abs(ours - want).max() <= 1
