@@ -22,12 +22,16 @@ _NPZ = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
 
 @pytest.mark.skipif(not os.path.exists(_NPZ),
                     reason="no committed flagship checkpoint")
-def test_flagship_beats_identity_baseline():
+@pytest.mark.parametrize("seed", [123, 7, 99])
+def test_flagship_beats_identity_baseline(seed):
+    """Measured (CPU, lax warp, 256x320, 16 frames): gain +17.8/+20.7/
+    +21.7 dB and 50.9-51.7 dB vs target across these seeds. Gates sit
+    ~3 dB under the worst measured value so a semantic regression cannot
+    hide inside a loose margin (VERDICT.md round-1 item 8)."""
     params, mcfg = ckpt.load_npz(_NPZ)
     stab = Stabilizer(StabilizeConfig(model=mcfg, chunk_frames=8,
                                       warp_impl="lax"), params)
-    m = eval_lib.evaluate_synthetic(stab, jax.random.key(123), 16, 256, 320)
-    # Trained model: +13-14 dB at 480p; demand a robust margin here.
-    assert m["psnr_gain_db"] > 5.0, m
-    assert m["psnr_vs_target"] > 40.0, m
-    assert m["stability_gain"] < 1.0, m
+    m = eval_lib.evaluate_synthetic(stab, jax.random.key(seed), 16, 256, 320)
+    assert m["psnr_gain_db"] > 14.5, m
+    assert m["psnr_vs_target"] > 47.5, m
+    assert m["stability_gain"] < 0.95, m
