@@ -8,8 +8,10 @@ Layout. A (H, W, C) uint8 frame is VIEWED as (H, W*C): lanes are channel-
 interleaved pixels and both reshapes are free. The horizontal bilinear
 neighbor of source lane C*x+c is lane C*(x+1)+c = +C lanes, so the
 3-stripe scalar-prefetched lane-gather decomposition of the planar kernel
-(ops/warp_pallas.py) carries over with lx1 = lx0 + C. Sampling x is passed in PIXEL
-units (replicated per lane); the kernel reconstructs the source lane as
+(ops/warp_pallas.py) carries over with lx1 = lx0 + C. Sampling coords are passed
+COMPACT (per pixel, 1/C the bytes): an output lane-block's pixels always
+fit one aligned 128-px coord block (C*128 lanes == 128 px), so the kernel
+expands them with one lane gather and reconstructs the source lane as
 C*floor(x) + lane%C — in f32 (exact here; TPU has no vector integer
 divide, and packing C*x0+frac into one f32 loses the tap to rounding).
 
@@ -91,10 +93,18 @@ def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
         phase = lane_f - channels * jnp.floor(lane_f * (1.0 / channels))
         lane_base = sbase_ref[pl.program_id(0), cb] * TILE_W
 
+        # Per-lane pixel index LOCAL to the compact coord block: one
+        # aligned 128-px block always covers an out lane-block's pixels
+        # (c*128 lanes == 128 px exactly), so coords are fetched compact
+        # (1/C the bytes) and expanded by one cheap lane gather.
+        pl_idx = (((lane_f - phase) * (1.0 / channels))
+                  - jnp.float32((cb // channels) * TILE_W)
+                  ).astype(jnp.int32)
+
         for sub in range(n_sub):
             rows = slice(sub * tile_h, (sub + 1) * tile_h)
-            y = y_ref[0, rows, :]
-            xpx = x_ref[0, rows, :]
+            y = jnp.take_along_axis(y_ref[0, rows, :], pl_idx, axis=1)
+            xpx = jnp.take_along_axis(x_ref[0, rows, :], pl_idx, axis=1)
             y0 = jnp.floor(y)
             x0 = jnp.floor(xpx)
             fy = y - y0
@@ -209,39 +219,47 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
     y = (grids[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
     x = jnp.clip(x, 0.0, w - 1) + pad_l
     y = jnp.clip(y, 0.0, h - 1) + pad_h
-    x_wide = jnp.broadcast_to(x[..., None], (b, ho, wo, c)).reshape(
-        b, ho, wo * c)
-    y_wide = jnp.broadcast_to(y[..., None], (b, ho, wo, c)).reshape(
-        b, ho, wo * c)
 
     blk = tile_h * n_sub
-    x_wide = _pad_rows_to_multiple(x_wide, blk, 1)
-    y_wide = _pad_rows_to_multiple(y_wide, blk, 1)
-    hop = x_wide.shape[1]
+    x = _pad_rows_to_multiple(x, blk, 1)
+    y = _pad_rows_to_multiple(y, blk, 1)
+    hop = x.shape[1]
     n_cb = (wo * c) // TILE_W
 
-    # Exact per-(batch, output-lane-block) coverage: every needed source
-    # lane (x0 tap and its +C neighbor) must fall inside the 3-stripe
-    # window anchored at sbase. Computed from the SAME quantities the
-    # kernel uses, so guard and kernel cannot drift.
-    phase = (jnp.arange(wo * c, dtype=jnp.int32) % c)[None, None]
-    lane0 = (c * jnp.floor(x_wide).astype(jnp.int32) + phase).reshape(
-        b, hop, n_cb, TILE_W)
-    lmin = jnp.min(lane0, axis=(1, 3))
-    lmax = jnp.max(lane0, axis=(1, 3)) + c
+    # Per-(batch, output-lane-block) coverage: every needed source lane
+    # (x0 tap and its +C neighbor) must fall inside the 3-stripe window
+    # anchored at sbase. Computed from the compact coords over each out
+    # block's (static, slightly overlapping) pixel slice — conservative
+    # by <= 1 boundary pixel, which can only widen the window check, so a
+    # pass still guarantees the kernel's gathers are in range.
+    x0 = jnp.floor(x).astype(jnp.int32).reshape(b, hop, wo // TILE_W,
+                                                TILE_W)
+    mins, maxs = [], []
+    for j in range(c):
+        lo = (TILE_W * j) // c
+        hi = (TILE_W * (j + 1) - 1) // c + 1
+        seg = x0[:, :, :, lo:hi]
+        mins.append(c * jnp.min(seg, axis=(1, 3)))        # + phase >= 0
+        maxs.append(c * jnp.max(seg, axis=(1, 3)) + (c - 1))
+    # Interleave per-out-block bounds: out block 3k+j <- slice j of k.
+    lmin = jnp.stack(mins, axis=2).reshape(b, n_cb)
+    lmax = jnp.stack(maxs, axis=2).reshape(b, n_cb) + c   # +C: x1 tap
     sbase = jnp.clip(lmin // TILE_W, 0, n_lb - N_STRIPES)
     ok = jnp.all(lmax - sbase * TILE_W < N_STRIPES * TILE_W)
-    return planes, y_wide, x_wide, sbase, ok
+    return planes, y, x, sbase, ok
 
 
 def _launch(planes, y_wide, x_wide, sbase, ho, wo, c, tile_h,
             n_sub, interpret):
     b, hp, lp = planes.shape
     hop = y_wide.shape[1]
-    n_cb = y_wide.shape[2] // TILE_W
+    n_cb = (wo * c) // TILE_W
     blk = tile_h * n_sub
+    # Compact (per-pixel) coords: out lane-block cb reads the aligned
+    # 128-px coord block cb // C (3*128 lanes == 128 px exactly).
     coord_spec = pl.BlockSpec((1, blk, TILE_W),
-                              lambda b_, cb, r, sref: (b_, r, cb),
+                              lambda b_, cb, r, sref, c_=c: (b_, r,
+                                                             cb // c_),
                               memory_space=pltpu.VMEM)
 
     def stripe_spec(offset):
@@ -300,13 +318,14 @@ def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
     n_sub = pick_n_sub(ho, tile_h)
     planes, y_wide, x_wide, sbase, ok = _wide_prep(
         frames_u8, grids, max_dx_px, tile_h, n_sub)
-
-    def fast(_):
-        return _launch(planes, y_wide, x_wide, sbase, ho, wo, c,
-                       tile_h, n_sub, interpret)
-
+    out = _launch(planes, y_wide, x_wide, sbase, ho, wo, c,
+                  tile_h, n_sub, interpret)
     if not guarded:
-        return fast(None)
+        return out
 
-    return jax.lax.cond(ok, fast, lambda _: _oracle_u8(frames_u8, grids),
-                        None)
+    # The kernel ALWAYS runs and the cond only selects its (small, uint8)
+    # output vs the oracle branch: putting the launch inside the branch
+    # made XLA copy the large f32 planes/coords operands into the cond
+    # (~180 us/frame measured); selecting outputs costs ~a u8 copy.
+    return jax.lax.cond(ok, lambda _: out,
+                        lambda _: _oracle_u8(frames_u8, grids), None)
