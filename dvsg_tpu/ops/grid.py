@@ -32,11 +32,13 @@ def identity_grid(height: int, width: int) -> jax.Array:
 def upsample_offsets(offsets: jax.Array, height: int, width: int) -> jax.Array:
     """Bilinearly upsample coarse control offsets (..., gh, gw, 2) → (..., H, W, 2).
 
-    Offsets are in normalized units, so upsampling does not rescale values.
+    Offsets are in normalized units, so upsampling does not rescale
+    values. Matrix form (ops/resize.py): exact jax.image.resize semantics
+    as two MXU matmuls instead of a gather fusion.
     """
-    *lead, gh, gw, c = offsets.shape
-    out_shape = (*lead, height, width, c)
-    return jax.image.resize(offsets, out_shape, method="bilinear")
+    from dvsg_tpu.ops import resize as resize_ops
+    return resize_ops.downscale_bilinear(offsets.astype(jnp.float32),
+                                         height, width)
 
 
 def grid_from_offsets(offsets: jax.Array, height: int, width: int,

@@ -71,7 +71,7 @@ def _cdiv(a: int, b: int) -> int:
 def pick_n_sub(ho: int, tile_h: int = TILE_H, max_waste: float = 0.10) -> int:
     """Row-subtiles per grid step: largest of 8/4/2/1 whose block padding
     wastes <= max_waste of the output rows."""
-    for n_sub in (8, 4, 2, 1):
+    for n_sub in (12, 8, 4, 2, 1):
         blk = tile_h * n_sub
         hop = _cdiv(ho, blk) * blk
         if (hop - ho) / ho <= max_waste:
@@ -193,13 +193,16 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
     if (wo * c) % TILE_W != 0:
         raise ValueError(
             f"wide warp needs output W*C ({wo}*{c}) divisible by {TILE_W}")
+    del max_dx_px   # wide kernel needs no dx halo: stripe bases are
+    # anchored at each block's own minimum source lane, and border clamp
+    # already bounds coords to [0, w-1] — only the +1-neighbor pixel and
+    # lane alignment need padding, on the right.
     pad_h = tile_h
-    # Horizontal pad in PIXELS (keeps the c = lane % C phase intact);
-    # padded width must make LANES a multiple of TILE_W.
-    pad_l = max(max_dx_px + 2, 2)
-    pad_r = max(max_dx_px + 2, 2)
+    pad_l = 0
     wmult = TILE_W // math.gcd(TILE_W, c)
-    pad_r += (-(w + pad_l + pad_r)) % wmult
+    pad_r = (-w) % wmult
+    if pad_r < 1:
+        pad_r += wmult
 
     planes = jnp.pad(frames_u8, ((0, 0), (pad_h, pad_h), (pad_l, pad_r),
                                  (0, 0)), mode="edge")

@@ -29,6 +29,7 @@ import numpy as np
 from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.models import motion_cnn
 from dvsg_tpu.ops import grid as grid_ops
+from dvsg_tpu.ops import resize as resize_ops
 from dvsg_tpu.ops import warp as warp_ops
 from dvsg_tpu.utils import video_io
 from dvsg_tpu.utils.metrics import StageTimer
@@ -76,9 +77,10 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     t, h, w, _ = frames_u8.shape
     mh, mw = mcfg.model_size
 
-    frames = normalize_frames(frames_u8)
-    small = jax.image.resize(frames, (t, mh, mw, mcfg.channels),
-                             method="bilinear") - 0.5
+    # Matrix-form resize with normalize folded in (ops/resize.py): the
+    # model input comes straight off the uint8 chunk via two MXU matmuls;
+    # no full-resolution f32 frame is materialized anywhere in the chunk.
+    small = resize_ops.downscale_norm(frames_u8, mh, mw)
     seq = jnp.concatenate([halo, small], axis=0)   # (T+N-1, mh, mw, C)
 
     if mcfg.arch == "corr":
@@ -139,9 +141,8 @@ def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:
     """Replicate-pad history for the start of a stream (SURVEY.md §4)."""
     mcfg = cfg.model
     mh, mw = mcfg.model_size
-    f = jnp.asarray(first_frame_u8, jnp.float32)[None] / 255.0
-    small = jax.image.resize(f, (1, mh, mw, mcfg.channels),
-                             method="bilinear") - 0.5
+    f = jnp.asarray(first_frame_u8, jnp.uint8)[None]
+    small = resize_ops.downscale_norm(f, mh, mw)
     return jnp.tile(small, (mcfg.window - 1, 1, 1, 1))
 
 

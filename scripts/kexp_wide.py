@@ -433,6 +433,137 @@ def launch_v6(planes, planes_sh, y_wide, x_wide, sbase, tile_h, n_sub):
       *([planes_sh] * N_STRIPES))
 
 
+
+
+def make_kernel_v9(tile_h, channels, pad_h=32, unroll=4, n_sub=8):
+    """Pair-interleaved stripes: rows 2k/2k+1 hold plane[k]/plane_shifted[k],
+    so BOTH bilinear x-taps come from ONE gather per candidate-stripe at
+    the same index; an MXU pairing matmul sums the pairs at the end."""
+
+    def kernel(sbase_ref, y_ref, x_ref, *refs):
+        stripes = refs[:N_STRIPES]
+        out_ref = refs[N_STRIPES]
+        rt = pl.program_id(2)
+        cb = pl.program_id(1)
+        lane_f = (jnp.float32(cb * TILE_W)
+                  + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W),
+                                             1).astype(jnp.float32))
+        phase = lane_f - channels * jnp.floor(lane_f * (1.0 / channels))
+        lane_base = sbase_ref[pl.program_id(0), cb] * TILE_W
+        pl_idx = (((lane_f - phase) * (1.0 / channels))
+                  - jnp.float32((cb // channels) * TILE_W)
+                  ).astype(jnp.int32)
+        # Pairing matrix: out[r] = acc2[2r] + acc2[2r+1] on the MXU.
+        rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 2 * tile_h), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 2 * tile_h), 1)
+        pair = jnp.where(jj // 2 == rr, 1.0, 0.0)
+
+        for sub in range(n_sub):
+            rows = slice(sub * tile_h, (sub + 1) * tile_h)
+            y = jnp.take_along_axis(y_ref[0, rows, :], pl_idx, axis=1)
+            xpx = jnp.take_along_axis(x_ref[0, rows, :], pl_idx, axis=1)
+            y0 = jnp.floor(y)
+            x0 = jnp.floor(xpx)
+            fy = y - y0
+            fx = xpx - x0
+            y0i = y0.astype(jnp.int32)
+            x0i = (channels * x0 + phase).astype(jnp.int32)
+
+            r0p = (rt * n_sub + sub) * tile_h + pad_h
+            row_p = (r0p + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, TILE_W), 0))
+            resid = y0i - row_p
+            dmin = jnp.min(resid)
+            dmax = jnp.max(resid)
+
+            lx0 = x0i - lane_base
+            reg0 = lx0 // TILE_W
+            loc0 = lx0 - reg0 * TILE_W
+            # Pair-space (2*tile_h, 128) hoisted state: indices duplicate
+            # per pair; weights interleave w0 (even) / w1 (odd).
+            even = (jax.lax.broadcasted_iota(
+                jnp.int32, (2 * tile_h, TILE_W), 0) % 2) == 0
+            loc2 = [pltpu.repeat(jnp.where(reg0 == s, loc0, 0), 2, axis=0)
+                    for s in range(N_STRIPES)]
+            w2 = []
+            for s in range(N_STRIPES):
+                m0 = jnp.where(reg0 == s, 1.0 - fx, 0.0)
+                m1 = jnp.where(reg0 == s, fx, 0.0)
+                w2.append(jnp.where(even, pltpu.repeat(m0, 2, axis=0),
+                                    pltpu.repeat(m1, 2, axis=0)))
+            resid2 = pltpu.repeat(resid, 2, axis=0)
+            fy2 = pltpu.repeat(fy, 2, axis=0)
+
+            def contribution(d, dmax=dmax, loc2=loc2, w2=w2,
+                             resid2=resid2, fy2=fy2, r0p=r0p):
+                wv2 = (jnp.where(resid2 == d, 1.0 - fy2, 0.0)
+                       + jnp.where(resid2 + 1 == d, fy2, 0.0))
+                ds_ = jnp.minimum(d, dmax + 1)
+                hv = None
+                for s in range(N_STRIPES):
+                    seg2 = stripes[s][0, pl.ds(2 * (r0p + ds_),
+                                               2 * tile_h), :]
+                    g = jnp.take_along_axis(seg2, loc2[s], axis=1)
+                    t = w2[s] * g
+                    hv = t if hv is None else hv + t
+                return wv2 * hv
+
+            n_macro = (dmax + 2 - dmin + unroll - 1) // unroll
+
+            def macro(m, acc, dmin=dmin, contribution=contribution):
+                d0 = dmin + m * unroll
+                cs = [contribution(d0 + off) for off in range(unroll)]
+                while len(cs) > 1:
+                    cs = [cs[i] + cs[i + 1] if i + 1 < len(cs) else cs[i]
+                          for i in range(0, len(cs), 2)]
+                return acc + cs[0]
+
+            acc2 = jax.lax.fori_loop(
+                0, n_macro, macro,
+                jnp.zeros((2 * tile_h, TILE_W), jnp.float32))
+            acc = jax.lax.dot_general(
+                pair, acc2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, rows, :] = jnp.clip(jnp.round(acc), 0.0, 255.0
+                                           ).astype(jnp.int32
+                                                    ).astype(jnp.uint8)
+
+    return kernel
+
+
+def launch_v9(planes_int, y_c, x_c, sbase, ho, wo, c, tile_h, n_sub):
+    b, hp2, lp = planes_int.shape
+    hop = y_c.shape[1]
+    n_cb = (wo * c) // TILE_W
+    blk = tile_h * n_sub
+    coord_spec = pl.BlockSpec((1, blk, TILE_W),
+                              lambda b_, cb, r, sref, c_=c: (b_, r,
+                                                             cb // c_),
+                              memory_space=pltpu.VMEM)
+
+    def stripe_spec(offset):
+        return pl.BlockSpec(
+            (1, hp2, TILE_W),
+            lambda b_, cb, r, sref, o=offset: (b_, 0, sref[b_, cb] + o),
+            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((1, blk, TILE_W),
+                            lambda b_, cb, r, sref: (b_, r, cb),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_cb, hop // blk),
+        in_specs=[coord_spec, coord_spec,
+                  *(stripe_spec(o) for o in range(N_STRIPES))],
+        out_specs=out_spec)
+    out = pl.pallas_call(
+        make_kernel_v9(tile_h, c, n_sub=n_sub),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hop, n_cb * TILE_W), jnp.uint8),
+    )(sbase, y_c, x_c, *([planes_int] * N_STRIPES))
+    return out[:, :ho, :].reshape(b, ho, wo, c)
+
+
 def make_kernel_v3(tile_h, channels, n_sub):
     """v2 plus: one grid step covers n_sub row-subtiles of tile_h rows —
     same inner loop structure, 1/n_sub the grid steps."""

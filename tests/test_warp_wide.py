@@ -81,13 +81,18 @@ class TestParity:
 
 class TestCoverageGuard:
     def test_violating_grid_falls_back_to_oracle(self, rng):
-        """dx varying by hundreds of px within a block -> exact oracle."""
-        h, w = 64, 128
+        """x oscillating with a ~16-px period swings the source column by
+        half the frame width WITHIN one output block — outside any
+        3-stripe window — so the guard must route to the oracle."""
+        h, w = 32, 640
         frames = _frames(rng, 1, h, w)
         xs = jnp.linspace(-1, 1, w)
         ys = jnp.linspace(-1, 1, h)
         gx, gy = jnp.meshgrid(xs, ys)
-        wild = jnp.stack([gx * jnp.sin(gy * 40.0), gy], -1)[None]
+        wild = jnp.stack([jnp.sin(gx * 31.0), gy], -1)[None]
+        _, _, _, _, ok = warp_wide._wide_prep(
+            frames, wild, 64, warp_wide.TILE_H, warp_wide.pick_n_sub(h))
+        assert not bool(ok), "fixture must actually violate the contract"
         out = np.asarray(warp_wide.warp_u8_batch(
             frames, wild, max_dx_px=64, interpret=INTERPRET))
         want = np.asarray(warp_wide._oracle_u8(frames, wild))
