@@ -49,7 +49,9 @@ def warp_batch(frames: jax.Array, grids: jax.Array,
 
 def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
                         warp_impl: str = "auto",
-                        max_dx_px: int | None = None) -> jax.Array:
+                        max_dx_px: int | None = None,
+                        offsets: jax.Array | None = None,
+                        border_crop: float = 0.0) -> jax.Array:
     """Fused normalize+warp+quantize: uint8 frames in, uint8 frames out.
 
     The inference hot path. On TPU this is ONE wide-layout Pallas pass
@@ -57,17 +59,34 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
     contract enforced on device (oracle fallback on violation); elsewhere
     (or for widths where W*C is not lane-aligned) it composes the lax
     oracle with explicit normalize/quantize — same semantics within 1 LSB.
+
+    ``offsets``/``border_crop``: when the caller derived ``grids`` from
+    coarse offsets (the pipeline case), passing them lets the guard's
+    fallback branch rebuild the dense grids from the tiny offset field
+    instead of capturing the full (B, H, W, 2) f32 grids into the cond —
+    XLA copies cond captures, which costs ~0.8 ms per 16-frame 720p chunk.
     """
+    import jax
     import jax.numpy as jnp
 
     impl = resolve_impl(warp_impl)
-    w, c = grids.shape[2], frames_u8.shape[3]
+    h, w = grids.shape[1], grids.shape[2]
+    c = frames_u8.shape[3]
     if impl == "pallas" and (w * c) % 128 == 0:
         from dvsg_tpu.ops import warp_wide
         if max_dx_px is None:
             max_dx_px = (w - 1) // 2
+        fallback = None
+        if offsets is not None:
+            from dvsg_tpu.ops import grid as grid_ops
+
+            def fallback():
+                g = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+                    o, h, w, border_crop=border_crop))(offsets)
+                return warp_wide._oracle_u8(frames_u8, g)
         return warp_wide.warp_u8_batch(frames_u8, grids,
-                                       max_dx_px=max_dx_px)
+                                       max_dx_px=max_dx_px,
+                                       fallback=fallback)
     out = warp_batch(frames_u8.astype(jnp.float32) * (1.0 / 255.0), grids,
                      warp_impl, max_dx_px)
     return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)

@@ -69,8 +69,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def pick_n_sub(ho: int, tile_h: int = TILE_H, max_waste: float = 0.10) -> int:
-    """Row-subtiles per grid step: largest of 8/4/2/1 whose block padding
-    wastes <= max_waste of the output rows."""
+    """Row-subtiles per grid step: largest of 12/8/4/2/1 whose block
+    padding wastes <= max_waste of the output rows."""
     for n_sub in (12, 8, 4, 2, 1):
         blk = tile_h * n_sub
         hop = _cdiv(ho, blk) * blk
@@ -298,12 +298,14 @@ def _oracle_u8(frames_u8, grids):
 
 
 @functools.partial(jax.jit, static_argnames=("max_dx_px", "tile_h",
-                                             "interpret", "guarded"))
+                                             "interpret", "guarded",
+                                             "fallback"))
 def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
                   max_dx_px: int = 126,
                   tile_h: int = TILE_H,
                   interpret: bool = False,
-                  guarded: bool = True) -> jax.Array:
+                  guarded: bool = True,
+                  fallback=None) -> jax.Array:
     """Fused warp+quantize: (B, H, W, C) uint8 x (B, Ho, Wo, 2) grids →
     (B, Ho, Wo, C) uint8.
 
@@ -330,5 +332,10 @@ def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
     # output vs the oracle branch: putting the launch inside the branch
     # made XLA copy the large f32 planes/coords operands into the cond
     # (~180 us/frame measured); selecting outputs costs ~a u8 copy.
-    return jax.lax.cond(ok, lambda _: out,
-                        lambda _: _oracle_u8(frames_u8, grids), None)
+    # ``fallback`` (static 0-arg callable) lets callers shrink the false
+    # branch's captures further — e.g. the pipeline rebuilds dense grids
+    # from its tiny coarse offsets there instead of capturing the 2-ch
+    # f32 grid field.
+    if fallback is None:
+        fallback = lambda: _oracle_u8(frames_u8, grids)   # noqa: E731
+    return jax.lax.cond(ok, lambda _: out, lambda _: fallback(), None)

@@ -102,7 +102,8 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     # payload never round-trips through f32 HBM (ops/warp_wide.py).
     out_u8 = warp_ops.warp_quantize_batch(
         frames_u8, grids, cfg.warp_impl,
-        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w))
+        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w),
+        offsets=offsets, border_crop=cfg.border_crop)
 
     new_halo = seq[t:]                              # last window-1 frames
     return out_u8, new_halo, offsets
