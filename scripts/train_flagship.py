@@ -28,6 +28,8 @@ def main():
     p.add_argument("--window", type=int, default=5)
     p.add_argument("--model-size", type=int, nargs=2, default=(256, 256))
     p.add_argument("--grid-size", type=int, nargs=2, default=(16, 16))
+    p.add_argument("--blocks-per-level", type=int, default=2)
+    p.add_argument("--base-features", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="checkpoints/flagship")
     p.add_argument("--npz", default="checkpoints/flagship.npz")
@@ -49,7 +51,9 @@ def main():
 
     mcfg = ModelConfig(window=args.window,
                        model_size=tuple(args.model_size),
-                       grid_size=tuple(args.grid_size))
+                       grid_size=tuple(args.grid_size),
+                       blocks_per_level=args.blocks_per_level,
+                       base_features=args.base_features)
     tcfg = TrainConfig(model=mcfg, steps=args.steps,
                        batch_size=args.batch_size,
                        learning_rate=args.learning_rate, seed=args.seed,
