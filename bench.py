@@ -158,11 +158,24 @@ def main():
     log(f"backend={backend} devices={jax.devices()}")
 
     h, w = 720, 1280
-    mcfg = ModelConfig(dtype="bfloat16" if on_tpu else "float32")
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=16, warp_impl="auto")
-
+    # Production model = the committed fast flagship (128^2 single-block
+    # encoder; quality within ~1 dB of the 256^2 flagship, see
+    # tests/test_flagship_quality.py); random init if absent (arch cost
+    # is weight-independent).
+    import dataclasses
     from dvsg_tpu.models import motion_cnn
-    params = motion_cnn.init_params(mcfg, jax.random.key(0))
+    from dvsg_tpu.utils import checkpoint as _ckpt
+    dt = "bfloat16" if on_tpu else "float32"
+    try:
+        params, mcfg = _ckpt.load_npz("checkpoints/flagship_fast.npz")
+        mcfg = dataclasses.replace(mcfg, dtype=dt)
+        model_name = "flagship_fast"
+    except Exception as e:
+        log(f"flagship_fast unavailable ({e}); random weights")
+        mcfg = ModelConfig(dtype=dt)
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+        model_name = "random-init-default"
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=16, warp_impl="auto")
 
     rng = np.random.default_rng(0)
     frames = _shaky_frames(cfg.chunk_frames, h, w)
@@ -182,16 +195,9 @@ def main():
     # HBM headroom for DP batching — see STATUS.md).
     fps_1080 = warp_us_1080 = None
     if on_tpu:
-        import dataclasses
-        params_1080, m1080 = params, mcfg
-        try:
-            from dvsg_tpu.utils import checkpoint as ckpt
-            params_1080, m1080 = ckpt.load_npz("checkpoints/flagship.npz")
-            m1080 = dataclasses.replace(m1080, dtype=mcfg.dtype)
-        except Exception as e:
-            log(f"flagship checkpoint unavailable ({e}); random weights")
-        cfg_1080 = StabilizeConfig(model=m1080, chunk_frames=8,
+        cfg_1080 = StabilizeConfig(model=mcfg, chunk_frames=8,
                                    warp_impl="auto")
+        params_1080 = params
         frames_1080 = _shaky_frames(8, 1080, 1920)
         fps_1080 = _bench_chunked(cfg_1080, params_1080, frames_1080,
                                   n_iters=20, warm_reps=2)
@@ -219,6 +225,8 @@ def main():
         "cpu_baseline_frames": 20,
         "host_io": host_io,
         "chunk_frames": cfg.chunk_frames,
+        "model": model_name,
+        "model_size": list(mcfg.model_size),
         "model_dtype": mcfg.dtype,
         "warp_impl_resolved": warp_ops_name(cfg),
     }

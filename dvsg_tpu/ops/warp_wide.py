@@ -33,9 +33,11 @@ Several grid steps' row tiles are batched per step (n_sub) to amortize
 per-block DMA bookkeeping; tile_h stays 32 because the candidate spread
 (and with it redundant masked work) grows with tile area.
 
-Contract and guard: each 128-lane output block's source lanes must fit a
-384-lane window (<= ~126 px of x-displacement VARIATION per ~43-px output
-block at C=3 — all smooth stabilization warps qualify). The contract is
+Contract and guard: each (128-lane, row-block) output tile's source
+lanes must fit a 384-lane window (<= ~126 px of x-displacement VARIATION
+per ~43-px-wide, n_sub*32-row-tall output tile at C=3 — all smooth
+stabilization warps qualify; the per-ROW-BLOCK anchoring absorbs the
+~theta*H px of rotation-induced dx drift across the frame height). The contract is
 ENFORCED: `warp_u8_batch` computes the exact per-block coverage predicate
 from the same lane math the kernel uses and falls back to the lax oracle
 via `jax.lax.cond` when any block violates it — never silent corruption
@@ -91,7 +93,10 @@ def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
                                              1).astype(jnp.float32))
         # lane % C via exact f32 multiply-by-reciprocal floor division.
         phase = lane_f - channels * jnp.floor(lane_f * (1.0 / channels))
-        lane_base = sbase_ref[pl.program_id(0), cb] * TILE_W
+        # Stripe base per (batch, column-block, ROW-block): rotation makes
+        # dx drift with row (~theta*H px over the frame), so one base per
+        # column would overflow the 3-stripe window at 1080p.
+        lane_base = sbase_ref[pl.program_id(0), cb, rt] * TILE_W
 
         # Per-lane pixel index LOCAL to the compact coord block: one
         # aligned 128-px block always covers an out lane-block's pixels
@@ -229,24 +234,31 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
     hop = x.shape[1]
     n_cb = (wo * c) // TILE_W
 
-    # Per-(batch, output-lane-block) coverage: every needed source lane
-    # (x0 tap and its +C neighbor) must fall inside the 3-stripe window
-    # anchored at sbase. Computed from the compact coords over each out
-    # block's (static, slightly overlapping) pixel slice — conservative
-    # by <= 1 boundary pixel, which can only widen the window check, so a
-    # pass still guarantees the kernel's gathers are in range.
-    x0 = jnp.floor(x).astype(jnp.int32).reshape(b, hop, wo // TILE_W,
-                                                TILE_W)
+    # Per-(batch, lane-block, ROW-block) coverage: every needed source
+    # lane (x0 tap and its +C neighbor) must fall inside the 3-stripe
+    # window anchored at that row block's sbase. Per-row-block anchoring
+    # matters: rotation drifts dx by ~theta*H px across the frame height,
+    # which overflows a single per-column window at 1080p. Bounds come
+    # from the compact coords over each out block's (static, slightly
+    # overlapping) pixel slice — conservative by <= 1 boundary pixel,
+    # which can only widen the window check, so a pass still guarantees
+    # the kernel's gathers are in range.
+    n_rt = hop // blk
+    x0 = jnp.floor(x).astype(jnp.int32).reshape(b, n_rt, blk,
+                                                wo // TILE_W, TILE_W)
     mins, maxs = [], []
     for j in range(c):
         lo = (TILE_W * j) // c
         hi = (TILE_W * (j + 1) - 1) // c + 1
-        seg = x0[:, :, :, lo:hi]
-        mins.append(c * jnp.min(seg, axis=(1, 3)))        # + phase >= 0
-        maxs.append(c * jnp.max(seg, axis=(1, 3)) + (c - 1))
-    # Interleave per-out-block bounds: out block 3k+j <- slice j of k.
-    lmin = jnp.stack(mins, axis=2).reshape(b, n_cb)
-    lmax = jnp.stack(maxs, axis=2).reshape(b, n_cb) + c   # +C: x1 tap
+        seg = x0[:, :, :, :, lo:hi]
+        mins.append(c * jnp.min(seg, axis=(2, 4)))        # + phase >= 0
+        maxs.append(c * jnp.max(seg, axis=(2, 4)) + (c - 1))
+    # Interleave per-out-block bounds: out block 3k+j <- slice j of k;
+    # result axes (b, n_cb, n_rt) to match sref[b, cb, rt].
+    lmin = jnp.transpose(jnp.stack(mins, axis=3).reshape(b, n_rt, n_cb),
+                         (0, 2, 1))
+    lmax = jnp.transpose(jnp.stack(maxs, axis=3).reshape(b, n_rt, n_cb),
+                         (0, 2, 1)) + c                    # +C: x1 tap
     sbase = jnp.clip(lmin // TILE_W, 0, n_lb - N_STRIPES)
     ok = jnp.all(lmax - sbase * TILE_W < N_STRIPES * TILE_W)
     return planes, y, x, sbase, ok
@@ -268,7 +280,8 @@ def _launch(planes, y_wide, x_wide, sbase, ho, wo, c, tile_h,
     def stripe_spec(offset):
         return pl.BlockSpec(
             (1, hp, TILE_W),
-            lambda b_, cb, r, sref, o=offset: (b_, 0, sref[b_, cb] + o),
+            lambda b_, cb, r, sref, o=offset: (b_, 0,
+                                               sref[b_, cb, r] + o),
             memory_space=pltpu.VMEM)
 
     out_spec = pl.BlockSpec((1, blk, TILE_W),

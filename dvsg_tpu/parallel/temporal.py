@@ -25,10 +25,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.models import motion_cnn
 from dvsg_tpu.ops import grid as grid_ops
+from dvsg_tpu.ops import resize as resize_ops
 from dvsg_tpu.ops import warp as warp_ops
 from dvsg_tpu.parallel.mesh import DATA_AXIS
-from dvsg_tpu.pipeline.stabilize import (build_windows, initial_halo,
-                                         normalize_frames, quantize_frames)
+from dvsg_tpu.pipeline.stabilize import build_windows, initial_halo
 
 
 def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
@@ -46,9 +46,9 @@ def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
     mh, mw = mcfg.model_size
     n = mcfg.window
 
-    frames = normalize_frames(frames_u8)
-    small = jax.image.resize(frames, (t_local, mh, mw, mcfg.channels),
-                             method="bilinear") - 0.5
+    # Same fused compute as the single-device chunk (pipeline/stabilize):
+    # matrix-form resize+normalize, warp+quantize straight on uint8.
+    small = resize_ops.downscale_norm(frames_u8, mh, mw)
     tail = small[t_local - (n - 1):]            # (n-1, mh, mw, C)
 
     # Halo exchange: every device sends its tail to its RIGHT neighbor
@@ -71,10 +71,11 @@ def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
         offsets = motion_cnn.predict_offsets(mcfg, params, windows)
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
         o, h, w, border_crop=cfg.border_crop))(offsets)
-    warped = warp_ops.warp_batch(
-        frames, grids, cfg.warp_impl,
-        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w))
-    return quantize_frames(warped), tail[None]   # leading shard axis
+    out_u8 = warp_ops.warp_quantize_batch(
+        frames_u8, grids, cfg.warp_impl,
+        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w),
+        offsets=offsets, border_crop=cfg.border_crop)
+    return out_u8, tail[None]                    # leading shard axis
 
 
 def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
