@@ -193,7 +193,7 @@ def main():
     # 1080p (BASELINE.json config 5 resolution), trained flagship weights
     # when available, device-resident, T=8 (T=16 fits but leaves little
     # HBM headroom for DP batching — see STATUS.md).
-    fps_1080 = warp_us_1080 = None
+    fps_1080 = warp_us_1080 = latency_ms = None
     if on_tpu:
         cfg_1080 = StabilizeConfig(model=mcfg, chunk_frames=8,
                                    warp_impl="auto")
@@ -204,6 +204,14 @@ def main():
         log(f"1080p chunked throughput: {fps_1080:.2f} frames/s/chip (T=8)")
         warp_us_1080 = _bench_warp_kernel(cfg, 1080, 1920, batch=4)
         log(f"warp kernel: {warp_us_1080:.1f} us/frame at 1080p")
+
+        # Serving latency: one 720p frame per device step (chunk_frames=1).
+        cfg_lat = StabilizeConfig(model=mcfg, chunk_frames=1,
+                                  warp_impl="auto")
+        lat_fps = _bench_chunked(cfg_lat, params, frames[:1],
+                                 n_iters=50, warm_reps=2)
+        latency_ms = 1000.0 / lat_fps if lat_fps else None
+        log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
 
     cpu_fps = _bench_reference_style_cpu(
         ModelConfig(dtype="float32"), h, w)
@@ -221,6 +229,7 @@ def main():
         "warp_us_per_frame_720p": warp_us,
         "fps_1080p_per_chip_T8": fps_1080,
         "warp_us_per_frame_1080p": warp_us_1080,
+        "latency_ms_720p_T1": latency_ms,
         "reference_style_cpu_fps": cpu_fps,
         "cpu_baseline_frames": 20,
         "host_io": host_io,

@@ -55,10 +55,11 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
     """Fused normalize+warp+quantize: uint8 frames in, uint8 frames out.
 
     The inference hot path. On TPU this is ONE wide-layout Pallas pass
-    (ops/warp_wide.py) with zero layout changes and the stripe-coverage
-    contract enforced on device (oracle fallback on violation); elsewhere
-    (or for widths where W*C is not lane-aligned) it composes the lax
-    oracle with explicit normalize/quantize — same semantics within 1 LSB.
+    (ops/warp_wide.py) with zero layout changes, any output resolution
+    (non-lane-aligned widths are grid-padded and cropped inside), and the
+    stripe-coverage contract enforced on device (oracle fallback on
+    violation); elsewhere it composes the lax oracle with explicit
+    normalize/quantize — same semantics within 1 LSB.
 
     ``offsets``/``border_crop``: when the caller derived ``grids`` from
     coarse offsets (the pipeline case), passing them lets the guard's
@@ -71,8 +72,7 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
 
     impl = resolve_impl(warp_impl)
     h, w = grids.shape[1], grids.shape[2]
-    c = frames_u8.shape[3]
-    if impl == "pallas" and (w * c) % 128 == 0:
+    if impl == "pallas":
         from dvsg_tpu.ops import warp_wide
         if max_dx_px is None:
             max_dx_px = (w - 1) // 2

@@ -195,9 +195,9 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
     """
     b, h, w, c = frames_u8.shape
     _, ho, wo, _ = grids.shape
-    if (wo * c) % TILE_W != 0:
+    if wo % TILE_W != 0:   # warp_u8_batch pads the grid before calling
         raise ValueError(
-            f"wide warp needs output W*C ({wo}*{c}) divisible by {TILE_W}")
+            f"_wide_prep needs output W ({wo}) divisible by {TILE_W}")
     del max_dx_px   # wide kernel needs no dx halo: stripe bases are
     # anchored at each block's own minimum source lane, and border clamp
     # already bounds coords to [0, w-1] — only the +1-neighbor pixel and
@@ -334,10 +334,18 @@ def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
     ho, wo = grids.shape[1], grids.shape[2]
     c = frames_u8.shape[3]
     n_sub = pick_n_sub(ho, tile_h)
+    # Arbitrary output width: pad the GRID to the next 128-px multiple
+    # with edge-replicated columns (they sample valid coords and are
+    # cropped after). The input width is unconstrained either way.
+    wop = _cdiv(wo, TILE_W) * TILE_W
+    grids_p = grids if wop == wo else jnp.pad(
+        grids, ((0, 0), (0, 0), (0, wop - wo), (0, 0)), mode="edge")
     planes, y_wide, x_wide, sbase, ok = _wide_prep(
-        frames_u8, grids, max_dx_px, tile_h, n_sub)
-    out = _launch(planes, y_wide, x_wide, sbase, ho, wo, c,
+        frames_u8, grids_p, max_dx_px, tile_h, n_sub)
+    out = _launch(planes, y_wide, x_wide, sbase, ho, wop, c,
                   tile_h, n_sub, interpret)
+    if wop != wo:
+        out = out[:, :, :wo, :]
     if not guarded:
         return out
 

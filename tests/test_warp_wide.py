@@ -139,13 +139,25 @@ class TestDispatch:
         want = np.asarray(warp_wide._oracle_u8(frames, g))
         np.testing.assert_array_equal(np.asarray(out), want)
 
-    def test_unaligned_width_falls_back(self, rng):
-        # 100*3 lanes not divisible by 128: pallas impl must still work
-        # (composed path), identical semantics.
+    def test_unaligned_width_pads_and_crops(self, rng):
+        # Output width not a 128 multiple: the wide kernel pads the grid
+        # with edge columns and crops — same semantics, same fast path.
         frames = _frames(rng, 1, 40, 100)
         g = _affine_grids(1, 40, 100)
-        out = warp_dispatch.warp_quantize_batch(frames, g, "lax")
-        assert out.dtype == jnp.uint8 and out.shape == (1, 40, 100, 3)
+        out = warp_wide.warp_u8_batch(frames, g, max_dx_px=16,
+                                      interpret=INTERPRET)
+        want = np.asarray(warp_wide._oracle_u8(frames, g)).astype(np.int32)
+        assert out.shape == (1, 40, 100, 3) and out.dtype == jnp.uint8
+        assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
+
+    def test_odd_input_width_and_output_resize(self, rng):
+        # Input width arbitrary; output follows the grid (here aligned).
+        frames = _frames(rng, 1, 50, 137)
+        g = grid_ops.identity_grid(48, 128)[None]
+        out = warp_wide.warp_u8_batch(frames, g, max_dx_px=16,
+                                      interpret=INTERPRET)
+        want = np.asarray(warp_wide._oracle_u8(frames, g)).astype(np.int32)
+        assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
 
 
 @pytest.mark.tpu
