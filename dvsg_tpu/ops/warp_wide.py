@@ -323,8 +323,10 @@ def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
     (B, Ho, Wo, C) uint8.
 
     Equivalent to quantize(bilinear_warp(normalize(frames), grids)) in one
-    pass with zero layout changes. ``max_dx_px`` sizes the horizontal edge
-    padding only (coverage comes from per-block scalar stripe bases).
+    pass with zero layout changes, any input width, any output
+    resolution. ``max_dx_px`` is accepted for API parity with the planar
+    kernel but IGNORED: the min-anchored per-(column, row-block) stripe
+    bases need no dx halo, and border clamp already bounds coordinates.
 
     ``guarded`` (default): the per-block stripe-coverage contract is
     checked on device and violating inputs take the exact lax-oracle path

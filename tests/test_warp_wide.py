@@ -74,6 +74,12 @@ class TestParity:
             jnp.asarray(o), h, w))(jnp.asarray(off))
         _check(_frames(rng, 2, h, w), grids)
 
+    def test_grayscale_single_channel(self, rng):
+        # C=1 exercises the general-channel lane math (phase==0, +1 tap).
+        frames = _frames(rng, 1, 48, 256, c=1)
+        g = _affine_grids(1, 48, 256)
+        _check(frames, g)
+
     def test_tall_output_multiple_subtile_blocks(self, rng):
         # ho > 256 exercises n_sub > 1 and block-padded coord rows.
         _check(_frames(rng, 1, 300, 128), _affine_grids(1, 300, 128))
