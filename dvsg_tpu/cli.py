@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -49,6 +50,31 @@ def _load_any_checkpoint(path):
     return params, mcfg
 
 
+_PRESETS = {"fast": "flagship_fast.npz", "quality": "flagship.npz"}
+
+
+def _resolve_preset(args):
+    """--preset fast|quality → the committed checkpoint, unless an
+    explicit --checkpoint was given (which wins)."""
+    if getattr(args, "checkpoint", None) or not getattr(args, "preset", None):
+        return
+    name = _PRESETS[args.preset]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "checkpoints", name)
+    if not os.path.exists(path):
+        print(f"ERROR: preset '{args.preset}' needs {path} (not found); "
+              "pass --checkpoint instead", file=sys.stderr)
+        raise SystemExit(2)
+    args.checkpoint = path
+
+
+def _add_preset_arg(p):
+    p.add_argument("--preset", choices=tuple(_PRESETS),
+                   help="use a committed pretrained model: 'fast' "
+                        "(128^2 encoder, highest throughput) or "
+                        "'quality' (256^2 flagship, ~1 dB higher PSNR)")
+
+
 def stabilize_main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="dvsg-stabilize",
@@ -61,6 +87,7 @@ def stabilize_main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir (from dvsg-train); identity model "
                         "if omitted")
+    _add_preset_arg(p)
     p.add_argument("--chunk-frames", type=int, default=16,
                    help="frames per device step")
     p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
@@ -83,6 +110,7 @@ def stabilize_main(argv=None) -> int:
                         "loop into this dir and print an op summary")
     _add_model_args(p)
     args = p.parse_args(argv)
+    _resolve_preset(args)
     if args.overlap and args.resume_dir:
         print("ERROR: --overlap has no resume support; drop --overlap for "
               "a resumable run (or --resume-dir for an overlapped one)",
@@ -196,6 +224,7 @@ def stabilize_batch_main(argv=None) -> int:
     p.add_argument("--inputs", nargs="+", required=True)
     p.add_argument("--outputs", nargs="+", required=True)
     p.add_argument("--checkpoint", default=None)
+    _add_preset_arg(p)
     p.add_argument("--chunk-frames", type=int, default=16)
     p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
                    default="auto")
@@ -205,6 +234,7 @@ def stabilize_batch_main(argv=None) -> int:
     p.add_argument("--metrics-out", default=None)
     _add_model_args(p)
     args = p.parse_args(argv)
+    _resolve_preset(args)
     if len(args.inputs) != len(args.outputs):
         print("ERROR: --inputs and --outputs must pair up", file=sys.stderr)
         return 2
@@ -270,6 +300,7 @@ def eval_main(argv=None) -> int:
         description="Evaluate a checkpoint on synthetic shaky clips.")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir; identity model if omitted")
+    _add_preset_arg(p)
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--size", type=int, nargs=2, default=(480, 640),
                    metavar=("H", "W"))
@@ -282,6 +313,7 @@ def eval_main(argv=None) -> int:
     p.add_argument("--metrics-out", default=None)
     _add_model_args(p)
     args = p.parse_args(argv)
+    _resolve_preset(args)
 
     import jax
     if args.platform:

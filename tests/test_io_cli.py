@@ -154,3 +154,20 @@ class TestCLIErrors:
                                  "--platform", "cpu"])
         assert rc == 2
         assert "ERROR" in capsys.readouterr().err
+
+
+def test_preset_resolves_committed_checkpoint(tmp_path):
+    """--preset fast resolves checkpoints/flagship_fast.npz; explicit
+    --checkpoint wins over --preset."""
+    import os
+    import types
+    from dvsg_tpu import cli
+
+    a = types.SimpleNamespace(checkpoint=None, preset="fast")
+    cli._resolve_preset(a)
+    assert a.checkpoint and a.checkpoint.endswith("flagship_fast.npz")
+    assert os.path.exists(a.checkpoint)
+
+    b = types.SimpleNamespace(checkpoint="/explicit/path", preset="fast")
+    cli._resolve_preset(b)
+    assert b.checkpoint == "/explicit/path"
