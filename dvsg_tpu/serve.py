@@ -126,6 +126,8 @@ def make_server(host: str, port: int, stabilizer,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="dvsg-serve")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--preset", choices=("fast", "quality"), default=None,
+                   help="committed pretrained model (see dvsg-stabilize)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8799)
     p.add_argument("--chunk-frames", type=int, default=16)
@@ -136,6 +138,9 @@ def main(argv=None) -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from dvsg_tpu.cli import _resolve_preset
+    _resolve_preset(args)
 
     from dvsg_tpu.config import ModelConfig, StabilizeConfig
     from dvsg_tpu.models import motion_cnn
