@@ -176,3 +176,31 @@ class TestTpuCompiled:
         want = np.asarray(warp_wide._oracle_u8(frames, grids)
                           ).astype(np.int32)
         assert np.abs(ours - want).max() <= 1
+
+
+class TestOffsetsFallback:
+    def test_dispatch_fallback_rebuilds_grids_from_offsets(self, rng, monkeypatch):
+        """warp_quantize_batch(offsets=...) must produce the oracle result
+        via the rebuilt-grid fallback when the contract is violated."""
+        import functools
+        from dvsg_tpu.ops import warp_wide as ww
+
+        h, w = 32, 640
+        frames = _frames(rng, 1, h, w)
+        # Offsets wild enough to violate coverage: alternate-sign columns.
+        off = np.zeros((1, 4, 16, 2), np.float32)
+        off[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
+        offsets = jnp.asarray(off)
+        grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+            o, h, w))(offsets)
+
+        if INTERPRET:   # run the pallas path interpreted on CPU
+            monkeypatch.setattr(
+                ww, "warp_u8_batch",
+                functools.partial(ww.warp_u8_batch.__wrapped__,
+                                  tile_h=ww.TILE_H, interpret=True,
+                                  guarded=True))
+        out = warp_dispatch.warp_quantize_batch(
+            frames, grids, "pallas", offsets=offsets)
+        want = np.asarray(warp_wide._oracle_u8(frames, grids)).astype(int)
+        assert np.abs(np.asarray(out).astype(int) - want).max() <= 1
