@@ -34,11 +34,14 @@ def upsample_offsets(offsets: jax.Array, height: int, width: int) -> jax.Array:
 
     Offsets are in normalized units, so upsampling does not rescale
     values. Matrix form (ops/resize.py): exact jax.image.resize semantics
-    as two MXU matmuls instead of a gather fusion.
+    as two MXU matmuls instead of a gather fusion, at "highest" precision
+    so the coordinates are true f32 on TPU and agree with the warp
+    kernel's in-register coordinate synthesis (ops/warp_wide.py).
     """
     from dvsg_tpu.ops import resize as resize_ops
     return resize_ops.downscale_bilinear(offsets.astype(jnp.float32),
-                                         height, width)
+                                         height, width,
+                                         precision="highest")
 
 
 def grid_from_offsets(offsets: jax.Array, height: int, width: int,

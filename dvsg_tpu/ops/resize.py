@@ -40,14 +40,22 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return np.asarray(m)
 
 
-def downscale_bilinear(frames: jax.Array, oh: int, ow: int) -> jax.Array:
+def downscale_bilinear(frames: jax.Array, oh: int, ow: int,
+                       precision=None) -> jax.Array:
     """(..., H, W, C) f32 → (..., oh, ow, C); exact jax.image.resize
-    semantics (bilinear + antialias) as two MXU matmuls."""
+    semantics (bilinear + antialias) as two MXU matmuls.
+
+    ``precision``: matmul precision. Grid-coordinate callers pass
+    "highest" so sampling coords are true f32 on TPU (the default bf16
+    passes cost ~1e-2 px of coordinate error — visible as multi-LSB pixel
+    diffs vs the in-kernel f32 coordinate synthesis); the CNN-input
+    resize keeps the fast default.
+    """
     *lead, h, w, c = frames.shape
     r = jnp.asarray(_resize_matrix(h, oh))
     cm = jnp.asarray(_resize_matrix(w, ow))
-    y = jnp.einsum("ph,...hwc->...pwc", r, frames)
-    return jnp.einsum("qw,...pwc->...pqc", cm, y)
+    y = jnp.einsum("ph,...hwc->...pwc", r, frames, precision=precision)
+    return jnp.einsum("qw,...pwc->...pqc", cm, y, precision=precision)
 
 
 def downscale_norm(frames_u8: jax.Array, oh: int, ow: int) -> jax.Array:

@@ -47,7 +47,7 @@ def warp_batch(frames: jax.Array, grids: jax.Array,
     return warp_ref.bilinear_warp_batch(frames, grids)
 
 
-def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
+def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array | None = None,
                         warp_impl: str = "auto",
                         max_dx_px: int | None = None,
                         offsets: jax.Array | None = None,
@@ -55,38 +55,37 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array,
     """Fused normalize+warp+quantize: uint8 frames in, uint8 frames out.
 
     The inference hot path. On TPU this is ONE wide-layout Pallas pass
-    (ops/warp_wide.py) with zero layout changes, any output resolution
-    (non-lane-aligned widths are grid-padded and cropped inside), and the
-    stripe-coverage contract enforced on device (oracle fallback on
-    violation); elsewhere it composes the lax oracle with explicit
-    normalize/quantize — same semantics within 1 LSB.
+    (ops/warp_wide.py) with zero layout changes and the stripe-coverage
+    contract enforced on device (oracle fallback on violation); elsewhere
+    it composes the lax oracle with explicit normalize/quantize — same
+    semantics within 1 LSB.
 
-    ``offsets``/``border_crop``: when the caller derived ``grids`` from
-    coarse offsets (the pipeline case), passing them lets the guard's
-    fallback branch rebuild the dense grids from the tiny offset field
-    instead of capturing the full (B, H, W, 2) f32 grids into the cond —
-    XLA copies cond captures, which costs ~0.8 ms per 16-frame 720p chunk.
+    Callers holding coarse offsets (the pipeline case) should pass
+    ``offsets`` (+ ``border_crop``) and OMIT ``grids``: the Pallas path
+    then synthesizes sampling coordinates in-kernel from the offset field
+    (warp_u8_offsets) — no dense (B, H, W, 2) grid is ever materialized —
+    and the lax path builds the dense grid itself. Passing ``grids``
+    selects the dense-grid kernel (arbitrary output resolution,
+    non-lane-aligned widths padded and cropped inside).
     """
     import jax
     import jax.numpy as jnp
 
     impl = resolve_impl(warp_impl)
-    h, w = grids.shape[1], grids.shape[2]
     if impl == "pallas":
         from dvsg_tpu.ops import warp_wide
+        if grids is None:
+            return warp_wide.warp_u8_offsets(frames_u8, offsets,
+                                             border_crop=border_crop)
         if max_dx_px is None:
-            max_dx_px = (w - 1) // 2
-        fallback = None
-        if offsets is not None:
-            from dvsg_tpu.ops import grid as grid_ops
-
-            def fallback():
-                g = jax.vmap(lambda o: grid_ops.grid_from_offsets(
-                    o, h, w, border_crop=border_crop))(offsets)
-                return warp_wide._oracle_u8(frames_u8, g)
+            max_dx_px = (grids.shape[2] - 1) // 2
         return warp_wide.warp_u8_batch(frames_u8, grids,
-                                       max_dx_px=max_dx_px,
-                                       fallback=fallback)
+                                       max_dx_px=max_dx_px)
+    if grids is None:
+        from dvsg_tpu.ops import grid as grid_ops
+        h, w = frames_u8.shape[1], frames_u8.shape[2]
+        grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+            o, h, w, border_crop=border_crop))(offsets)
     out = warp_batch(frames_u8.astype(jnp.float32) * (1.0 / 255.0), grids,
                      warp_impl, max_dx_px)
     return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)

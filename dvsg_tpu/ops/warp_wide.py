@@ -43,6 +43,16 @@ from the same lane math the kernel uses and falls back to the lax oracle
 via `jax.lax.cond` when any block violates it — never silent corruption
 (VERDICT.md round-1 item 4).
 
+Two public entries share the schedule:
+  * `warp_u8_offsets` — the PRODUCTION path (round-3): takes the CNN's
+    coarse (gh, gw, 2) offsets and synthesizes each tile's sampling
+    coordinates in-register (vertical upsample by a tiny matmul outside,
+    horizontal lerp + identity FMA inside), so the dense (T, H, W, 2)
+    grid is never materialized; guard and stripe bases derive from the
+    coarse control points (`_offsets_bounds`).
+  * `warp_u8_batch` — arbitrary dense grids (any output resolution),
+    with the dense coverage predicate of `_wide_prep`.
+
 The reference performs this step through its framework's grid_sample on
 normalized f32 and quantizes on the host (SURVEY.md §1 L3, §3.1;
 reference mount empty — citation unavailable).
@@ -55,6 +65,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -81,6 +92,93 @@ def pick_n_sub(ho: int, tile_h: int = TILE_H, max_waste: float = 0.10) -> int:
     return 1
 
 
+def _lane_geometry(cb, tile_h: int, channels: int):
+    """Per-lane geometry shared by both kernel bodies.
+
+    Returns (lane_f, phase, px_f): the global lane index, lane % C (both
+    via exact f32 multiply-by-reciprocal floor division — TPU has no
+    vector integer divide), and the global PIXEL index of each lane.
+    """
+    lane_f = (jnp.float32(cb * TILE_W)
+              + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W),
+                                         1).astype(jnp.float32))
+    phase = lane_f - channels * jnp.floor(lane_f * (1.0 / channels))
+    px_f = (lane_f - phase) * (1.0 / channels)
+    return lane_f, phase, px_f
+
+
+def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
+                    channels: int, unroll: int):
+    """Bilinear accumulation for one (tile_h, 128) sub-tile.
+
+    ``y``/``xpx`` are source coordinates in padded-plane space (y includes
+    pad_h; x in pixel units, phase added here). The candidate loop, stripe
+    decomposition, and ILP schedule are the measured design of record —
+    see the module docstring. Returns the f32 accumulator (payload stays
+    0..255; the caller quantizes)."""
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(xpx)
+    fy = y - y0
+    fx = xpx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = (channels * x0 + phase).astype(jnp.int32)
+
+    row_p = (r0p + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, TILE_W), 0))
+    resid = y0i - row_p          # vertical candidate residual
+    dmin = jnp.min(resid)
+    dmax = jnp.max(resid)
+
+    lx0 = x0i - lane_base
+    lx1 = lx0 + channels         # x1 tap: +C lanes
+    reg0 = lx0 // TILE_W         # stripe of each tap
+    reg1 = lx1 // TILE_W
+    loc0 = lx0 - reg0 * TILE_W
+    loc1 = lx1 - reg1 * TILE_W
+    w1 = fx
+    w0 = 1.0 - fx
+    loc0m = [jnp.where(reg0 == s, loc0, 0) for s in range(N_STRIPES)]
+    loc1m = [jnp.where(reg1 == s, loc1, 0) for s in range(N_STRIPES)]
+    w0m = [jnp.where(reg0 == s, w0, 0.0) for s in range(N_STRIPES)]
+    w1m = [jnp.where(reg1 == s, w1, 0.0) for s in range(N_STRIPES)]
+
+    def contribution(d):
+        # One candidate row's masked bilinear contribution — pure
+        # values, no ref writes, so instances pipeline. wv uses the
+        # TRUE candidate index (zero when out of range); only the
+        # slice start is clamped in-bounds.
+        wv = (jnp.where(resid == d, 1.0 - fy, 0.0)
+              + jnp.where(resid + 1 == d, fy, 0.0))
+        ds_ = jnp.minimum(d, dmax + 1)
+        hv = None
+        for s in range(N_STRIPES):
+            seg = stripes[s][0, pl.ds(r0p + ds_, tile_h), :]
+            g0 = jnp.take_along_axis(seg, loc0m[s], axis=1)
+            g1 = jnp.take_along_axis(seg, loc1m[s], axis=1)
+            t = w0m[s] * g0 + w1m[s] * g1
+            hv = t if hv is None else hv + t
+        return wv * hv
+
+    n_macro = (dmax + 2 - dmin + unroll - 1) // unroll
+
+    def macro(m, acc):
+        d0 = dmin + m * unroll
+        cs = [contribution(d0 + off) for off in range(unroll)]
+        while len(cs) > 1:       # pairwise tree sum (ILP)
+            cs = [cs[i] + cs[i + 1] if i + 1 < len(cs) else cs[i]
+                  for i in range(0, len(cs), 2)]
+        return acc + cs[0]
+
+    return jax.lax.fori_loop(
+        0, n_macro, macro, jnp.zeros((tile_h, TILE_W), jnp.float32))
+
+
+def _quantize_u8(acc):
+    # Quantize and pack to u8 in-register (i32 hop: no direct cast).
+    return jnp.clip(jnp.round(acc), 0.0, 255.0
+                    ).astype(jnp.int32).astype(jnp.uint8)
+
+
 def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
                       unroll: int):
     def kernel(sbase_ref, y_ref, x_ref, *refs):
@@ -88,11 +186,7 @@ def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
         out_ref = refs[N_STRIPES]
         rt = pl.program_id(2)
         cb = pl.program_id(1)
-        lane_f = (jnp.float32(cb * TILE_W)
-                  + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W),
-                                             1).astype(jnp.float32))
-        # lane % C via exact f32 multiply-by-reciprocal floor division.
-        phase = lane_f - channels * jnp.floor(lane_f * (1.0 / channels))
+        lane_f, phase, px_f = _lane_geometry(cb, tile_h, channels)
         # Stripe base per (batch, column-block, ROW-block): rotation makes
         # dx drift with row (~theta*H px over the frame), so one base per
         # column would overflow the 3-stripe window at 1080p.
@@ -102,75 +196,82 @@ def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
         # aligned 128-px block always covers an out lane-block's pixels
         # (c*128 lanes == 128 px exactly), so coords are fetched compact
         # (1/C the bytes) and expanded by one cheap lane gather.
-        pl_idx = (((lane_f - phase) * (1.0 / channels))
-                  - jnp.float32((cb // channels) * TILE_W)
+        pl_idx = (px_f - jnp.float32((cb // channels) * TILE_W)
                   ).astype(jnp.int32)
 
         for sub in range(n_sub):
             rows = slice(sub * tile_h, (sub + 1) * tile_h)
             y = jnp.take_along_axis(y_ref[0, rows, :], pl_idx, axis=1)
             xpx = jnp.take_along_axis(x_ref[0, rows, :], pl_idx, axis=1)
-            y0 = jnp.floor(y)
-            x0 = jnp.floor(xpx)
-            fy = y - y0
-            fx = xpx - x0
-            y0i = y0.astype(jnp.int32)
-            x0i = (channels * x0 + phase).astype(jnp.int32)
-
             r0p = (rt * n_sub + sub) * tile_h + pad_h
-            row_p = (r0p + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_h, TILE_W), 0))
-            resid = y0i - row_p          # vertical candidate residual
-            dmin = jnp.min(resid)
-            dmax = jnp.max(resid)
+            acc = _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p,
+                                  tile_h, channels, unroll)
+            out_ref[0, rows, :] = _quantize_u8(acc)
 
-            lx0 = x0i - lane_base
-            lx1 = lx0 + channels         # x1 tap: +C lanes
-            reg0 = lx0 // TILE_W         # stripe of each tap
-            reg1 = lx1 // TILE_W
-            loc0 = lx0 - reg0 * TILE_W
-            loc1 = lx1 - reg1 * TILE_W
-            w1 = fx
-            w0 = 1.0 - fx
-            loc0m = [jnp.where(reg0 == s, loc0, 0) for s in range(N_STRIPES)]
-            loc1m = [jnp.where(reg1 == s, loc1, 0) for s in range(N_STRIPES)]
-            w0m = [jnp.where(reg0 == s, w0, 0.0) for s in range(N_STRIPES)]
-            w1m = [jnp.where(reg1 == s, w1, 0.0) for s in range(N_STRIPES)]
+    return kernel
 
-            def contribution(d, dmax=dmax, loc0m=loc0m, loc1m=loc1m,
-                             w0m=w0m, w1m=w1m, resid=resid, fy=fy, r0p=r0p):
-                # One candidate row's masked bilinear contribution — pure
-                # values, no ref writes, so instances pipeline. wv uses the
-                # TRUE candidate index (zero when out of range); only the
-                # slice start is clamped in-bounds.
-                wv = (jnp.where(resid == d, 1.0 - fy, 0.0)
-                      + jnp.where(resid + 1 == d, fy, 0.0))
-                ds_ = jnp.minimum(d, dmax + 1)
-                hv = None
-                for s in range(N_STRIPES):
-                    seg = stripes[s][0, pl.ds(r0p + ds_, tile_h), :]
-                    g0 = jnp.take_along_axis(seg, loc0m[s], axis=1)
-                    g1 = jnp.take_along_axis(seg, loc1m[s], axis=1)
-                    t = w0m[s] * g0 + w1m[s] * g1
-                    hv = t if hv is None else hv + t
-                return wv * hv
 
-            n_macro = (dmax + 2 - dmin + unroll - 1) // unroll
+def _make_offsets_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
+                         unroll: int, h: int, w: int, gw: int, scale: float):
+    """Kernel body that SYNTHESIZES sampling coordinates in-register from
+    the row-upsampled coarse offsets (VERDICT.md round-2 item 1).
 
-            def macro(m, acc, dmin=dmin, contribution=contribution):
-                d0 = dmin + m * unroll
-                cs = [contribution(d0 + off) for off in range(unroll)]
-                while len(cs) > 1:       # pairwise tree sum (ILP)
-                    cs = [cs[i] + cs[i + 1] if i + 1 < len(cs) else cs[i]
-                          for i in range(0, len(cs), 2)]
-                return acc + cs[0]
+    Instead of reading precomputed dense pixel coords, each tile fetches a
+    (blk, 128) block of the VERTICALLY-upsampled offset field (lanes =
+    coarse columns, edge-padded to 128) and finishes the bilinear upsample
+    horizontally itself: the jax.image.resize sample position for output
+    pixel px is clamp((px+0.5)*gw/W - 0.5, 0, gw-1) — two lane gathers and
+    a lerp per field. The identity-grid term is a per-lane FMA. This kills
+    the dense (T, H, W, 2) grid materialization, the coord prep pass, and
+    the dense coverage reduction of the grids-based path.
 
-            acc = jax.lax.fori_loop(
-                0, n_macro, macro, jnp.zeros((tile_h, TILE_W), jnp.float32))
-            # Quantize and pack to u8 in-register (i32 hop: no direct cast).
-            out_ref[0, rows, :] = jnp.clip(jnp.round(acc), 0.0, 255.0
-                                           ).astype(jnp.int32
-                                                    ).astype(jnp.uint8)
+    Semantics match grid_from_offsets + _wide_prep exactly up to f32
+    rounding (the dense path evaluates the same clamped-triangle weights
+    through a matmul): output res == frame res, align_corners identity,
+    border-crop zoom folded via ``scale``, border clamp in pixel space.
+    """
+    a_x = np.float32(scale)                      # d(x_px)/d(px); W == w
+    b_x = np.float32((1.0 - scale) * 0.5 * (w - 1))
+    a_y = np.float32(scale)
+    b_y = np.float32((1.0 - scale) * 0.5 * (h - 1))
+    gx_scale = np.float32(gw / w)
+
+    def kernel(sbase_ref, yoff_ref, xoff_ref, *refs):
+        stripes = refs[:N_STRIPES]
+        out_ref = refs[N_STRIPES]
+        rt = pl.program_id(2)
+        cb = pl.program_id(1)
+        lane_f, phase, px_f = _lane_geometry(cb, tile_h, channels)
+        lane_base = sbase_ref[pl.program_id(0), cb, rt] * TILE_W
+
+        # Horizontal resample position into the coarse-column lanes —
+        # static per lane, hoisted out of the row loop.
+        gx = jnp.clip((px_f + 0.5) * gx_scale - 0.5, 0.0,
+                      jnp.float32(gw - 1))
+        c0f = jnp.floor(gx)
+        fg = gx - c0f
+        c0 = c0f.astype(jnp.int32)
+        c1 = c0 + 1            # <= gw <= 127: edge-padded lane, weight->0
+        x_id = a_x * px_f + b_x
+
+        for sub in range(n_sub):
+            rows = slice(sub * tile_h, (sub + 1) * tile_h)
+            yo_rows = yoff_ref[0, rows, :]
+            xo_rows = xoff_ref[0, rows, :]
+            xoff = ((1.0 - fg) * jnp.take_along_axis(xo_rows, c0, axis=1)
+                    + fg * jnp.take_along_axis(xo_rows, c1, axis=1))
+            yoff = ((1.0 - fg) * jnp.take_along_axis(yo_rows, c0, axis=1)
+                    + fg * jnp.take_along_axis(yo_rows, c1, axis=1))
+            r0 = (rt * n_sub + sub) * tile_h
+            r_f = (jnp.float32(r0)
+                   + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W),
+                                              0).astype(jnp.float32))
+            y = jnp.clip(a_y * r_f + b_y + yoff, 0.0,
+                         jnp.float32(h - 1)) + pad_h
+            xpx = jnp.clip(x_id + xoff, 0.0, jnp.float32(w - 1))
+            acc = _sub_accumulate(stripes, y, xpx, phase, lane_base,
+                                  r0 + pad_h, tile_h, channels, unroll)
+            out_ref[0, rows, :] = _quantize_u8(acc)
 
     return kernel
 
@@ -185,23 +286,13 @@ def _pad_rows_to_multiple(arr, mult, axis):
     return jnp.pad(arr, pads, mode="edge")
 
 
-def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
-    """Layout prep shared by the kernel launch and the coverage predicate.
-
-    Returns (planes, planes_sh, y_wide, x_wide, sbase, ok): the edge-padded
-    (B, Hp, Lp) f32 wide plane and its +C-lanes shifted copy, coords padded
-    to block multiples, the per-(batch, lane-block) first-stripe base, and
-    the exact scalar coverage predicate.
-    """
+def _prep_planes(frames_u8, tile_h):
+    """Edge-pad a (B, H, W, C) uint8 batch into the (B, Hp, Lp) f32 wide
+    plane both kernels gather from. No dx halo is needed: stripe bases are
+    anchored at each block's own minimum source lane, and border clamp
+    already bounds coords to [0, w-1] — only the +1-neighbor pixel and
+    lane alignment need padding, on the right."""
     b, h, w, c = frames_u8.shape
-    _, ho, wo, _ = grids.shape
-    if wo % TILE_W != 0:   # warp_u8_batch pads the grid before calling
-        raise ValueError(
-            f"_wide_prep needs output W ({wo}) divisible by {TILE_W}")
-    del max_dx_px   # wide kernel needs no dx halo: stripe bases are
-    # anchored at each block's own minimum source lane, and border clamp
-    # already bounds coords to [0, w-1] — only the +1-neighbor pixel and
-    # lane alignment need padding, on the right.
     pad_h = tile_h
     pad_l = 0
     wmult = TILE_W // math.gcd(TILE_W, c)
@@ -216,7 +307,24 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
     planes = planes.reshape(b, hp, planes.shape[2] * c)   # free view
     # u8 -> f32 OUTSIDE the kernel: elementwise (no transpose!) and XLA-
     # fused; Mosaic's in-kernel u8 unpack is a pathological relayout.
-    planes = planes.astype(jnp.float32)
+    return planes.astype(jnp.float32), pad_h, pad_l
+
+
+def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
+    """Layout prep shared by the kernel launch and the coverage predicate.
+
+    Returns (planes, y_wide, x_wide, sbase, ok): the edge-padded
+    (B, Hp, Lp) f32 wide plane, pixel-space coords padded to block
+    multiples, the per-(batch, lane-block, row-block) first-stripe base,
+    and the exact scalar coverage predicate.
+    """
+    b, h, w, c = frames_u8.shape
+    _, ho, wo, _ = grids.shape
+    if wo % TILE_W != 0:   # warp_u8_batch pads the grid before calling
+        raise ValueError(
+            f"_wide_prep needs output W ({wo}) divisible by {TILE_W}")
+    del max_dx_px   # wide kernel needs no dx halo (see _prep_planes)
+    planes, pad_h, pad_l = _prep_planes(frames_u8, tile_h)
     lp = planes.shape[2]
     n_lb = lp // TILE_W
 
@@ -310,15 +418,187 @@ def _oracle_u8(frames_u8, grids):
     return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def _offsets_rows(offsets, h, w, blk):
+    """Vertically upsample coarse offsets to per-output-row fields.
+
+    (B, gh, gw, 2) → two (B, hop, 128) f32 arrays in PIXEL units (y then
+    x), rows edge-padded to the block multiple and lanes (coarse columns)
+    edge-padded to 128 so the kernel's horizontal lerp can read tap c0+1
+    at the right edge with weight 0. Uses the SAME resize operator matrix
+    as the dense grid_from_offsets path (ops/resize.py), so vertical
+    weights are bit-identical between the two paths."""
+    from dvsg_tpu.ops import resize as resize_ops
+    b, gh, gw, _ = offsets.shape
+    r = jnp.asarray(resize_ops._resize_matrix(gh, h))       # (h, gh)
+    roff = jnp.einsum("ph,bhwk->bpwk", r, offsets.astype(jnp.float32),
+                      precision="highest")   # true-f32 coords on TPU
+    yoffr = roff[..., 1] * np.float32(0.5 * (h - 1))
+    xoffr = roff[..., 0] * np.float32(0.5 * (w - 1))
+    yoffr = _pad_rows_to_multiple(yoffr, blk, 1)
+    xoffr = _pad_rows_to_multiple(xoffr, blk, 1)
+    lane_pad = ((0, 0), (0, 0), (0, TILE_W - gw))
+    return (jnp.pad(yoffr, lane_pad, mode="edge"),
+            jnp.pad(xoffr, lane_pad, mode="edge"))
+
+
+def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb):
+    """Coverage guard + stripe bases from the COARSE offsets alone.
+
+    The dense x-coordinate field is a bilinear upsample of the (gh, gw)
+    control points, so over any output block its value is a convex
+    combination of the control points whose support overlaps the block —
+    per-block extrema are bounded by the extrema of that (static) control
+    sub-rectangle. This replaces the dense ~H*W-element reduction of
+    `_wide_prep` with a few dozen reductions over the (gh, gw) field
+    (VERDICT.md round-2 items 1/4). Conservative (can only widen the
+    window check), so a pass still guarantees in-range kernel gathers;
+    the slack is <= the offset field's variation across one pixel-block's
+    coarse support, negligible for smooth stabilization warps.
+
+    Returns (sbase (B, n_cb, n_rt) i32, ok scalar bool).
+    """
+    b, gh, gw, _ = offsets.shape
+    s = 0.5 * (w - 1)
+    xc = offsets[..., 0].astype(jnp.float32) * np.float32(s)  # px units
+    a_x = scale
+    b_x = (1.0 - scale) * 0.5 * (w - 1)
+    n_rt = hop // blk
+    n_cb = (wop * c) // TILE_W
+
+    def gy_idx(r_):
+        return min(max(math.floor((r_ + 0.5) * gh / h - 0.5), 0), gh - 1)
+
+    def gx_idx(p_):
+        return min(max(math.floor((p_ + 0.5) * gw / w - 0.5), 0), gw - 1)
+
+    lmin_cols, lmax_cols = [], []
+    for rt in range(n_rt):
+        r_lo, r_hi = rt * blk, min((rt + 1) * blk - 1, h - 1)
+        k_lo = gy_idx(r_lo)
+        k_hi = min(gy_idx(r_hi) + 1, gh - 1)
+        seg = xc[:, k_lo:k_hi + 1, :]
+        rmin = jnp.min(seg, axis=1)                 # (b, gw)
+        rmax = jnp.max(seg, axis=1)
+        lmins, lmaxs = [], []
+        for cb in range(n_cb):
+            p0 = (cb * TILE_W) // c
+            p1 = (cb * TILE_W + TILE_W - 1) // c
+            c_lo = gx_idx(p0)
+            c_hi = min(gx_idx(p1) + 1, gw - 1)
+            omin = jnp.min(rmin[:, c_lo:c_hi + 1], axis=1)   # (b,)
+            omax = jnp.max(rmax[:, c_lo:c_hi + 1], axis=1)
+            xmin = jnp.clip(a_x * p0 + b_x + omin, 0.0, w - 1)
+            xmax = jnp.clip(a_x * p1 + b_x + omax, 0.0, w - 1)
+            lmins.append(c * jnp.floor(xmin))                # + phase >= 0
+            lmaxs.append(c * jnp.floor(xmax) + (c - 1) + c)  # +C: x1 tap
+        lmin_cols.append(jnp.stack(lmins, axis=1))           # (b, n_cb)
+        lmax_cols.append(jnp.stack(lmaxs, axis=1))
+    lmin = jnp.stack(lmin_cols, axis=2).astype(jnp.int32)    # (b,n_cb,n_rt)
+    lmax = jnp.stack(lmax_cols, axis=2).astype(jnp.int32)
+    sbase = jnp.clip(lmin // TILE_W, 0, n_lb - N_STRIPES)
+    ok = jnp.all(lmax - sbase * TILE_W < N_STRIPES * TILE_W)
+    return sbase, ok
+
+
+def _launch_offsets(planes, yoffr, xoffr, sbase, h, w, wop, c, gw, scale,
+                    tile_h, n_sub, pad_h, interpret):
+    b, hp, lp = planes.shape
+    hop = yoffr.shape[1]
+    n_cb = (wop * c) // TILE_W
+    blk = tile_h * n_sub
+    # Row-upsampled offset block: lanes are coarse columns (one block
+    # covers all of them), so the index map depends only on the row block.
+    off_spec = pl.BlockSpec((1, blk, TILE_W),
+                            lambda b_, cb, r, sref: (b_, r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def stripe_spec(offset):
+        return pl.BlockSpec(
+            (1, hp, TILE_W),
+            lambda b_, cb, r, sref, o=offset: (b_, 0,
+                                               sref[b_, cb, r] + o),
+            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((1, blk, TILE_W),
+                            lambda b_, cb, r, sref: (b_, r, cb),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_cb, hop // blk),
+        in_specs=[off_spec, off_spec,
+                  *(stripe_spec(o) for o in range(N_STRIPES))],
+        out_specs=out_spec)
+    out = pl.pallas_call(
+        _make_offsets_kernel(tile_h, c, pad_h, n_sub, UNROLL, h, w, gw,
+                             scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hop, n_cb * TILE_W), jnp.uint8),
+        interpret=interpret,
+    )(sbase, yoffr, xoffr, *([planes] * N_STRIPES))
+    return out[:, :h, :].reshape(b, h, wop, c)
+
+
+@functools.partial(jax.jit, static_argnames=("border_crop", "tile_h",
+                                             "interpret", "guarded"))
+def warp_u8_offsets(frames_u8: jax.Array, offsets: jax.Array,
+                    border_crop: float = 0.0,
+                    tile_h: int = TILE_H,
+                    interpret: bool = False,
+                    guarded: bool = True) -> jax.Array:
+    """Fused upsample+warp+quantize straight from coarse offsets: the
+    production inference hot path.
+
+    (B, H, W, C) uint8 frames × (B, gh, gw, 2) normalized offsets →
+    (B, H, W, C) uint8, equivalent within 1 LSB to
+    quantize(warp_ref(normalize(frames), grid_from_offsets(offsets))) —
+    but the dense (B, H, W, 2) grid is NEVER materialized: offsets are
+    vertically upsampled by a tiny matmul and the kernel synthesizes each
+    tile's sampling coordinates in-register (see _make_offsets_kernel).
+    The coverage guard and stripe bases come from the coarse control
+    points (_offsets_bounds); ``guarded`` routes violating inputs to the
+    lax oracle via lax.cond, whose false branch captures only the tiny
+    offset field — wrong pixels are impossible and the dense-grid rebuild
+    cost of the grids-based guard is gone.
+    """
+    b, h, w, c = frames_u8.shape
+    gw = offsets.shape[2]
+    if gw >= TILE_W:
+        raise ValueError(f"coarse grid width {gw} must be < {TILE_W}")
+    scale = 1.0 - 2.0 * border_crop
+    n_sub = pick_n_sub(h, tile_h)
+    blk = tile_h * n_sub
+    wop = _cdiv(w, TILE_W) * TILE_W
+    planes, pad_h, _ = _prep_planes(frames_u8, tile_h)
+    yoffr, xoffr = _offsets_rows(offsets, h, w, blk)
+    hop = yoffr.shape[1]
+    sbase, ok = _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop,
+                                planes.shape[2] // TILE_W)
+    out = _launch_offsets(planes, yoffr, xoffr, sbase, h, w, wop, c, gw,
+                          scale, tile_h, n_sub, pad_h, interpret)
+    if wop != w:
+        out = out[:, :, :w, :]
+    if not guarded:
+        return out
+
+    def oracle(_):
+        from dvsg_tpu.ops import grid as grid_ops
+        g = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+            o, h, w, border_crop=border_crop))(offsets)
+        return _oracle_u8(frames_u8, g)
+
+    # The kernel always runs; the cond only selects the small u8 outputs
+    # (see warp_u8_batch). The false branch captures frames + the tiny
+    # offset field only.
+    return jax.lax.cond(ok, lambda _: out, oracle, None)
+
+
 @functools.partial(jax.jit, static_argnames=("max_dx_px", "tile_h",
-                                             "interpret", "guarded",
-                                             "fallback"))
+                                             "interpret", "guarded"))
 def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
                   max_dx_px: int = 126,
                   tile_h: int = TILE_H,
                   interpret: bool = False,
-                  guarded: bool = True,
-                  fallback=None) -> jax.Array:
+                  guarded: bool = True) -> jax.Array:
     """Fused warp+quantize: (B, H, W, C) uint8 x (B, Ho, Wo, 2) grids →
     (B, Ho, Wo, C) uint8.
 
@@ -355,10 +635,7 @@ def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
     # output vs the oracle branch: putting the launch inside the branch
     # made XLA copy the large f32 planes/coords operands into the cond
     # (~180 us/frame measured); selecting outputs costs ~a u8 copy.
-    # ``fallback`` (static 0-arg callable) lets callers shrink the false
-    # branch's captures further — e.g. the pipeline rebuilds dense grids
-    # from its tiny coarse offsets there instead of capturing the 2-ch
-    # f32 grid field.
-    if fallback is None:
-        fallback = lambda: _oracle_u8(frames_u8, grids)   # noqa: E731
-    return jax.lax.cond(ok, lambda _: out, lambda _: fallback(), None)
+    # Callers holding coarse offsets should use warp_u8_offsets instead —
+    # its fallback branch captures only the tiny offset field.
+    return jax.lax.cond(ok, lambda _: out,
+                        lambda _: _oracle_u8(frames_u8, grids), None)

@@ -24,7 +24,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.models import motion_cnn
-from dvsg_tpu.ops import grid as grid_ops
 from dvsg_tpu.ops import resize as resize_ops
 from dvsg_tpu.ops import warp as warp_ops
 from dvsg_tpu.parallel.mesh import DATA_AXIS
@@ -69,11 +68,8 @@ def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
     else:
         windows = build_windows(seq, t_local, n)
         offsets = motion_cnn.predict_offsets(mcfg, params, windows)
-    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
-        o, h, w, border_crop=cfg.border_crop))(offsets)
     out_u8 = warp_ops.warp_quantize_batch(
-        frames_u8, grids, cfg.warp_impl,
-        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w),
+        frames_u8, warp_impl=cfg.warp_impl,
         offsets=offsets, border_crop=cfg.border_crop)
     return out_u8, tail[None]                    # leading shard axis
 

@@ -5,7 +5,7 @@ host↔device hops per frame (SURVEY.md §3.1; reference mount empty — citatio
 unavailable) by a single jit-compiled program per T-frame chunk:
 
     uint8 chunk → normalize → resize to model res → temporal window stack
-      → CNN offsets → dense grids → bilinear warp → uint8 chunk
+      → CNN offsets → fused offsets-to-warp bilinear resample → uint8 chunk
 
 All intermediate state stays on device. Long videos stream in chunks of T
 frames carrying a (window-1)-frame model-resolution halo between chunks —
@@ -28,7 +28,6 @@ import numpy as np
 
 from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.models import motion_cnn
-from dvsg_tpu.ops import grid as grid_ops
 from dvsg_tpu.ops import resize as resize_ops
 from dvsg_tpu.ops import warp as warp_ops
 from dvsg_tpu.utils import video_io
@@ -95,14 +94,14 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     else:
         windows = build_windows(seq, t, mcfg.window)
         offsets = motion_cnn.predict_offsets(mcfg, params, windows)
-    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
-        o, h, w, border_crop=cfg.border_crop))(offsets)
-    # Fused normalize+warp+quantize on the ORIGINAL uint8 frames: the
-    # 1/255 and 255 scales cancel inside the bilinear lerp, so the warp
-    # payload never round-trips through f32 HBM (ops/warp_wide.py).
+    # Fused upsample+warp+quantize on the ORIGINAL uint8 frames straight
+    # from the coarse offsets: the Pallas path synthesizes sampling
+    # coordinates in-kernel, so no dense (T, H, W, 2) grid is ever
+    # materialized, and the 1/255 and 255 scales cancel inside the
+    # bilinear lerp — the warp payload never round-trips through f32 HBM
+    # (ops/warp_wide.py). The lax path builds the dense grid internally.
     out_u8 = warp_ops.warp_quantize_batch(
-        frames_u8, grids, cfg.warp_impl,
-        max_dx_px=warp_ops.max_dx_px_for(mcfg.max_offset, w),
+        frames_u8, warp_impl=cfg.warp_impl,
         offsets=offsets, border_crop=cfg.border_crop)
 
     new_halo = seq[t:]                              # last window-1 frames

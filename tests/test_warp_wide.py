@@ -178,29 +178,115 @@ class TestTpuCompiled:
         assert np.abs(ours - want).max() <= 1
 
 
-class TestOffsetsFallback:
-    def test_dispatch_fallback_rebuilds_grids_from_offsets(self, rng, monkeypatch):
-        """warp_quantize_batch(offsets=...) must produce the oracle result
-        via the rebuilt-grid fallback when the contract is violated."""
-        import functools
-        from dvsg_tpu.ops import warp_wide as ww
+def _interpret_offsets_entry(monkeypatch):
+    """Route warp_u8_offsets through interpret mode on CPU test runs."""
+    import functools
+    if INTERPRET:
+        monkeypatch.setattr(
+            warp_wide, "warp_u8_offsets",
+            functools.partial(warp_wide.warp_u8_offsets.__wrapped__,
+                              tile_h=warp_wide.TILE_H, interpret=True,
+                              guarded=True))
 
+
+def _offsets_oracle(frames, offsets, border_crop=0.0):
+    h, w = frames.shape[1], frames.shape[2]
+    grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
+        o, h, w, border_crop=border_crop))(offsets)
+    return np.asarray(warp_wide._oracle_u8(frames, grids)).astype(int)
+
+
+class TestOffsetsKernel:
+    """warp_u8_offsets: in-kernel coordinate synthesis from coarse
+    offsets (VERDICT.md round-2 item 1). Parity is vs the dense path
+    quantize(warp_ref(normalize, grid_from_offsets)); the only rounding
+    difference is f32 coordinate evaluation order, so <= 1 LSB."""
+
+    def _check(self, rng, h, w, gh, gw, crop=0.0, amp=0.15):
+        frames = _frames(rng, 2, h, w)
+        off = jnp.asarray(
+            (rng.random((2, gh, gw, 2), dtype=np.float32) - 0.5) * amp)
+        ours = np.asarray(warp_wide.warp_u8_offsets(
+            frames, off, border_crop=crop, interpret=INTERPRET)).astype(int)
+        want = _offsets_oracle(frames, off, crop)
+        assert np.abs(ours - want).max() <= 1
+
+    @pytest.mark.parametrize("h,w,gh,gw", [(96, 128, 6, 8),
+                                           (130, 384, 8, 16),
+                                           (64, 100, 4, 4)])
+    def test_parity(self, rng, h, w, gh, gw):
+        self._check(rng, h, w, gh, gw)
+
+    def test_border_crop_zoom_folded(self, rng):
+        self._check(rng, 96, 256, 6, 8, crop=0.03)
+
+    def test_zero_offsets_identity_exact(self, rng):
+        frames = _frames(rng, 1, 64, 128)
+        zero = jnp.zeros((1, 4, 4, 2), jnp.float32)
+        out = warp_wide.warp_u8_offsets(frames, zero, interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(frames))
+
+    def test_tall_frame_multiple_row_blocks(self, rng):
+        self._check(rng, 300, 128, 8, 8)
+
+    def test_guard_smooth_offsets_pass(self, rng):
+        h, w = 96, 256
+        off = jnp.asarray(
+            (rng.random((1, 6, 8, 2), dtype=np.float32) - 0.5) * 0.15)
+        n_sub = warp_wide.pick_n_sub(h)
+        blk = warp_wide.TILE_H * n_sub
+        hop = -(-h // blk) * blk
+        wop = -(-w // warp_wide.TILE_W) * warp_wide.TILE_W
+        planes, _, _ = warp_wide._prep_planes(
+            jnp.zeros((1, h, w, 3), jnp.uint8), warp_wide.TILE_H)
+        _, ok = warp_wide._offsets_bounds(
+            off, h, w, 3, 1.0, blk, hop, wop,
+            planes.shape[2] // warp_wide.TILE_W)
+        assert bool(ok)
+
+    def test_guard_violating_offsets_fall_back_to_oracle(self, rng):
+        """Alternate-sign column offsets swing the source column by most
+        of the frame width within one block — outside any 3-stripe
+        window — so the coarse-control-point guard must route to the
+        oracle."""
         h, w = 32, 640
         frames = _frames(rng, 1, h, w)
-        # Offsets wild enough to violate coverage: alternate-sign columns.
         off = np.zeros((1, 4, 16, 2), np.float32)
         off[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
-        offsets = jnp.asarray(off)
-        grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
-            o, h, w))(offsets)
+        off = jnp.asarray(off)
+        n_sub = warp_wide.pick_n_sub(h)
+        blk = warp_wide.TILE_H * n_sub
+        hop = -(-h // blk) * blk
+        wop = -(-w // warp_wide.TILE_W) * warp_wide.TILE_W
+        planes, _, _ = warp_wide._prep_planes(frames, warp_wide.TILE_H)
+        _, ok = warp_wide._offsets_bounds(
+            off, h, w, 3, 1.0, blk, hop, wop,
+            planes.shape[2] // warp_wide.TILE_W)
+        assert not bool(ok), "fixture must actually violate the contract"
+        out = np.asarray(warp_wide.warp_u8_offsets(
+            frames, off, interpret=INTERPRET)).astype(int)
+        want = _offsets_oracle(frames, off)
+        assert np.abs(out - want).max() <= 1
 
-        if INTERPRET:   # run the pallas path interpreted on CPU
-            monkeypatch.setattr(
-                ww, "warp_u8_batch",
-                functools.partial(ww.warp_u8_batch.__wrapped__,
-                                  tile_h=ww.TILE_H, interpret=True,
-                                  guarded=True))
+    def test_dispatch_offsets_only_lax(self, rng):
+        """warp_quantize_batch with offsets and no grids builds the dense
+        grid itself on the lax path."""
+        frames = _frames(rng, 1, 40, 100)
+        off = jnp.asarray(
+            (rng.random((1, 4, 4, 2), dtype=np.float32) - 0.5) * 0.1)
         out = warp_dispatch.warp_quantize_batch(
-            frames, grids, "pallas", offsets=offsets)
-        want = np.asarray(warp_wide._oracle_u8(frames, grids)).astype(int)
+            frames, warp_impl="lax", offsets=off, border_crop=0.01)
+        want = _offsets_oracle(frames, off, 0.01)
+        np.testing.assert_array_equal(np.asarray(out).astype(int), want)
+
+    def test_dispatch_offsets_only_pallas(self, rng, monkeypatch):
+        """The production dispatch (offsets, no grids) runs the
+        offsets-native kernel and the guard fallback end to end."""
+        _interpret_offsets_entry(monkeypatch)
+        frames = _frames(rng, 1, 64, 128)
+        off = jnp.asarray(
+            (rng.random((1, 4, 4, 2), dtype=np.float32) - 0.5) * 0.1)
+        out = warp_dispatch.warp_quantize_batch(
+            frames, warp_impl="pallas", offsets=off)
+        want = _offsets_oracle(frames, off)
         assert np.abs(np.asarray(out).astype(int) - want).max() <= 1
