@@ -3,6 +3,10 @@
 ``warp_impl``:
   * ``"lax"``    — pure jax.lax oracle (ops/warp_ref.py), runs anywhere.
   * ``"pallas"`` — fused gather-interpolate TPU kernel (ops/warp_pallas.py).
+  * ``"pallas_interpret"`` — the SAME Pallas program in interpret mode:
+    runs on CPU, so the virtual-mesh test suite and the multi-chip dryrun
+    can compile and execute the production kernel inside sharded programs
+    (pjit/shard_map/vmap) without TPU hardware (VERDICT.md round-2 item 2).
   * ``"auto"``   — pallas on TPU backends, lax elsewhere.
 """
 
@@ -23,7 +27,7 @@ def _on_tpu() -> bool:
 def resolve_impl(warp_impl: str) -> str:
     if warp_impl == "auto":
         return "pallas" if _on_tpu() else "lax"
-    if warp_impl not in ("lax", "pallas"):
+    if warp_impl not in ("lax", "pallas", "pallas_interpret"):
         raise ValueError(f"unknown warp_impl {warp_impl!r}")
     return warp_impl
 
@@ -38,12 +42,13 @@ def warp_batch(frames: jax.Array, grids: jax.Array,
     half-frame bound (always correct, larger halo).
     """
     impl = resolve_impl(warp_impl)
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from dvsg_tpu.ops import warp_pallas
         if max_dx_px is None:
             max_dx_px = (grids.shape[2] - 1) // 2
-        return warp_pallas.bilinear_warp_batch(frames, grids,
-                                               max_dx_px=max_dx_px)
+        return warp_pallas.bilinear_warp_batch(
+            frames, grids, max_dx_px=max_dx_px,
+            interpret=(impl == "pallas_interpret"))
     return warp_ref.bilinear_warp_batch(frames, grids)
 
 
@@ -72,15 +77,18 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array | None = None,
     import jax.numpy as jnp
 
     impl = resolve_impl(warp_impl)
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from dvsg_tpu.ops import warp_wide
+        interp = impl == "pallas_interpret"
         if grids is None:
             return warp_wide.warp_u8_offsets(frames_u8, offsets,
-                                             border_crop=border_crop)
+                                             border_crop=border_crop,
+                                             interpret=interp)
         if max_dx_px is None:
             max_dx_px = (grids.shape[2] - 1) // 2
         return warp_wide.warp_u8_batch(frames_u8, grids,
-                                       max_dx_px=max_dx_px)
+                                       max_dx_px=max_dx_px,
+                                       interpret=interp)
     if grids is None:
         from dvsg_tpu.ops import grid as grid_ops
         h, w = frames_u8.shape[1], frames_u8.shape[2]
@@ -100,12 +108,13 @@ def warp_batch_diff(frames: jax.Array, grids: jax.Array,
     elsewhere. Callers must not rely on frame gradients through this op.
     """
     impl = resolve_impl(warp_impl)
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from dvsg_tpu.ops import warp_pallas
         if max_dx_px is None:
             max_dx_px = (grids.shape[2] - 1) // 2
         return warp_pallas.bilinear_warp_batch_grids_diff(
-            frames, grids, max_dx_px)
+            frames, grids, max_dx_px,
+            interpret=(impl == "pallas_interpret"))
     return warp_ref.bilinear_warp_batch(frames, grids)
 
 

@@ -86,11 +86,15 @@ def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     t_sharded = NamedSharding(mesh, P(DATA_AXIS))
 
+    # check_vma=False: the pallas_call inside the body declares no
+    # varying-mesh-axes metadata on its out_shape (the kernel is shared
+    # with unsharded callers), which the vma checker would reject.
     body = shard_map(
         functools.partial(_local_chunk, cfg),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
     )
     return jax.jit(body,
                    in_shardings=(repl, t_sharded, repl),

@@ -54,6 +54,24 @@ class TestShardedClips:
             dp.ShardedClipStabilizer(CFG, params, m).stabilize_clips(clips)
 
 
+class TestShardedPallasKernel:
+    """VERDICT.md round-2 item 2: the deployed program must be the tested
+    one. Run the PRODUCTION Pallas kernel (interpret mode, same Mosaic
+    program structure: scalar-prefetched stripe BlockSpecs, lax.cond
+    guard, in-kernel coordinate synthesis) inside the sharded+vmapped
+    pjit program on the virtual 8-device mesh and match the lax path."""
+
+    def test_sharded_clips_pallas_matches_lax(self, params, rng):
+        clips = (rng.random((8, 4, 32, 40, 3)) * 255).astype(np.uint8)
+        m = mesh_lib.make_mesh()
+        out_p = dp.ShardedClipStabilizer(
+            CFG.replace(warp_impl="pallas_interpret"), params, m
+        ).stabilize_clips(clips)
+        out_l = dp.ShardedClipStabilizer(CFG, params, m
+                                         ).stabilize_clips(clips)
+        assert np.abs(out_p.astype(int) - out_l.astype(int)).max() <= 1
+
+
 class TestTensorParallel:
     """SURVEY.md §2.3 TP row: enabling TP is a mesh-spec change, not a
     rewrite — conv output channels shard over a "model" axis and GSPMD

@@ -39,6 +39,20 @@ def test_partial_last_chunk(params, rng):
                                   single.stabilize_clip(frames))
 
 
+def test_pallas_kernel_inside_shard_map(params, rng):
+    """The production Pallas warp (interpret mode) must compile and run
+    under shard_map with the ppermute halo exchange and match the lax
+    path (VERDICT.md round-2 item 2)."""
+    frames = (rng.random((16, 32, 40, 3)) * 255).astype(np.uint8)
+    mesh = mesh_lib.make_mesh()
+    out_p = TemporalShardedStabilizer(
+        CFG.replace(warp_impl="pallas_interpret"), params, mesh
+    ).stabilize_clip(frames)
+    out_l = TemporalShardedStabilizer(CFG, params, mesh
+                                      ).stabilize_clip(frames)
+    assert np.abs(out_p.astype(int) - out_l.astype(int)).max() <= 1
+
+
 def test_chunk_divisibility_enforced(params):
     mesh = mesh_lib.make_mesh()
     with pytest.raises(ValueError):

@@ -178,17 +178,6 @@ class TestTpuCompiled:
         assert np.abs(ours - want).max() <= 1
 
 
-def _interpret_offsets_entry(monkeypatch):
-    """Route warp_u8_offsets through interpret mode on CPU test runs."""
-    import functools
-    if INTERPRET:
-        monkeypatch.setattr(
-            warp_wide, "warp_u8_offsets",
-            functools.partial(warp_wide.warp_u8_offsets.__wrapped__,
-                              tile_h=warp_wide.TILE_H, interpret=True,
-                              guarded=True))
-
-
 def _offsets_oracle(frames, offsets, border_crop=0.0):
     h, w = frames.shape[1], frames.shape[2]
     grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
@@ -279,14 +268,16 @@ class TestOffsetsKernel:
         want = _offsets_oracle(frames, off, 0.01)
         np.testing.assert_array_equal(np.asarray(out).astype(int), want)
 
-    def test_dispatch_offsets_only_pallas(self, rng, monkeypatch):
+    def test_dispatch_offsets_only_pallas(self, rng):
         """The production dispatch (offsets, no grids) runs the
-        offsets-native kernel and the guard fallback end to end."""
-        _interpret_offsets_entry(monkeypatch)
+        offsets-native kernel and the guard fallback end to end.
+        ``pallas_interpret`` is the same program in interpret mode so it
+        runs on the CPU suite (VERDICT.md round-2 item 2)."""
+        impl = "pallas" if not INTERPRET else "pallas_interpret"
         frames = _frames(rng, 1, 64, 128)
         off = jnp.asarray(
             (rng.random((1, 4, 4, 2), dtype=np.float32) - 0.5) * 0.1)
         out = warp_dispatch.warp_quantize_batch(
-            frames, warp_impl="pallas", offsets=off)
+            frames, warp_impl=impl, offsets=off)
         want = _offsets_oracle(frames, off)
         assert np.abs(np.asarray(out).astype(int) - want).max() <= 1
