@@ -272,24 +272,30 @@ def stabilize_batch_main(argv=None) -> int:
                for i, p_ in enumerate(args.outputs)]
     timer = StageTimer()
     t0 = time.perf_counter()
-    written = stabilize_multi(cfg, params, readers, writers, mesh=mesh,
-                              timer=timer)
+    result = stabilize_multi(cfg, params, readers, writers, mesh=mesh,
+                             timer=timer)
     wall = time.perf_counter() - t0
     for r in readers:
         r.close()
     for w_ in writers:
         w_.close()
+    written = result.frames_written
     total = sum(written)
     fps = total / wall if wall else 0.0
     print(f"stabilized {len(written)} clips / {total} frames in "
           f"{wall:.2f}s ({fps:.1f} frames/s aggregate)")
+    for i in result.failed_clips:
+        print(f"FAILED clip {args.inputs[i]} after {written[i]} frames: "
+              f"{result.errors[i]} — re-run it (frame-dir outputs resume "
+              "at the written count)", file=sys.stderr)
     if args.metrics_out:
         write_metrics_jsonl(args.metrics_out, {
             "kind": "stabilize_batch", "clips": len(written),
             "frames": total, "wall_s": wall, "fps": fps,
             "devices": n_dev, "mesh": mesh is not None,
+            "failed_clips": result.failed_clips,
         })
-    return 0
+    return 0 if result.ok else 3
 
 
 def eval_main(argv=None) -> int:

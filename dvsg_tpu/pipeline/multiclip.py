@@ -15,6 +15,7 @@ one resolution — ``stabilize_multi`` raises on a mixed-resolution batch
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
 from typing import List, Optional, Sequence
@@ -33,7 +34,31 @@ from dvsg_tpu.utils.metrics import StageTimer
 _SENTINEL = None
 
 
-def _decode_worker(reader, chunk, out_q, err):
+@dataclasses.dataclass
+class MultiClipResult:
+    """Per-clip outcome of a batch run (SURVEY.md §5.3 fault isolation).
+
+    ``frames_written[i]`` counts frames flushed to writer i — for a
+    failed clip this is the resume point (frame-dir outputs restart
+    there; the single-clip streaming API's ``resume_dir`` mechanism
+    applies). ``errors[i]`` is the exception that killed clip i's decode
+    or encode, or None; a failed clip stops consuming device output but
+    the REST of the batch runs to completion.
+    """
+
+    frames_written: List[int]
+    errors: List[Optional[Exception]]
+
+    @property
+    def failed_clips(self) -> List[int]:
+        return [i for i, e in enumerate(self.errors) if e is not None]
+
+    @property
+    def ok(self) -> bool:
+        return not self.failed_clips
+
+
+def _decode_worker(reader, chunk, out_q, errs, idx):
     try:
         while True:
             batch = reader.read_batch(chunk)
@@ -41,11 +66,11 @@ def _decode_worker(reader, chunk, out_q, err):
             if batch.shape[0] < chunk:
                 break
     except Exception as e:
-        err.append(e)
+        errs[idx] = e
         out_q.put(np.zeros((0, reader.height, reader.width, 3), np.uint8))
 
 
-def _encode_worker(writer, in_q, err):
+def _encode_worker(writer, in_q, errs, idx):
     try:
         while True:
             item = in_q.get()
@@ -53,7 +78,7 @@ def _encode_worker(writer, in_q, err):
                 break
             writer.write_batch(item)
     except Exception as e:
-        err.append(e)
+        errs[idx] = e
         while in_q.get() is not _SENTINEL:
             pass
 
@@ -62,8 +87,15 @@ def stabilize_multi(cfg: StabilizeConfig, params,
                     readers: Sequence[video_io.VideoReader],
                     writers: Sequence[video_io.VideoWriter],
                     mesh=None,
-                    timer: Optional[StageTimer] = None) -> List[int]:
-    """Stabilize a batch of clips concurrently; returns frames per clip."""
+                    timer: Optional[StageTimer] = None) -> MultiClipResult:
+    """Stabilize a batch of clips concurrently.
+
+    Fault isolation is PER CLIP: a clip whose reader or writer throws
+    mid-stream is marked failed (its partial output and written-frame
+    count are preserved as the resume point) and the remaining clips run
+    to completion; the returned ``MultiClipResult`` says which clips
+    need re-running. Only a failure of every clip raises.
+    """
     timer = timer or StageTimer()
     n = len(readers)
     assert n == len(writers)
@@ -81,19 +113,43 @@ def stabilize_multi(cfg: StabilizeConfig, params,
         fn = jax.jit(lambda p, f, hl: jax.vmap(
             lambda ff, hh: stabilize_chunk_impl(cfg, p, ff, hh))(f, hl))
 
-    errors: list = []
+    # Decode and encode failures are tracked separately: a decode error
+    # is acted on only when its (final) empty sentinel batch arrives, so
+    # every successfully decoded frame ahead of it in the queue is still
+    # stabilized and flushed — the written count IS the resume point. An
+    # encode error stops the clip immediately (its output can no longer
+    # be consumed).
+    dec_errors: List[Optional[Exception]] = [None] * n
+    enc_errors: List[Optional[Exception]] = [None] * n
     dec_qs = [queue.Queue(maxsize=cfg.queue_depth) for _ in range(n)]
     enc_qs = [queue.Queue(maxsize=cfg.queue_depth) for _ in range(n)]
     threads = []
+    dec_threads = []
     for i in range(n):
         t = threading.Thread(target=_decode_worker,
-                             args=(readers[i], t_chunk, dec_qs[i], errors),
+                             args=(readers[i], t_chunk, dec_qs[i],
+                                   dec_errors, i),
                              daemon=True)
         t.start()
         threads.append(t)
+        dec_threads.append(t)
         t = threading.Thread(target=_encode_worker,
-                             args=(writers[i], enc_qs[i], errors),
+                             args=(writers[i], enc_qs[i], enc_errors, i),
                              daemon=True)
+        t.start()
+        threads.append(t)
+
+    def _drain_decode(i):
+        # A failed clip's decode worker may still be producing into its
+        # bounded queue; stop consuming it in the main loop and drain it
+        # here so the worker can't block forever on put() (liveness).
+        def drain():
+            while dec_threads[i].is_alive() or not dec_qs[i].empty():
+                try:
+                    dec_qs[i].get(timeout=0.1)
+                except queue.Empty:
+                    pass
+        t = threading.Thread(target=drain, daemon=True)
         t.start()
         threads.append(t)
 
@@ -102,13 +158,17 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     written = [0] * n
     last = [None] * n           # last frame of each clip for padding
     pending = None              # (device out, valid list) to fetch later
+    blank = np.zeros((t_chunk, h, w, 3), np.uint8)
 
     def flush(p):
         out_dev, valid = p
         with timer.stage("d2h"):
             host = fetch_frames(out_dev)
         for i in range(n):
-            if valid[i] > 0:
+            # A clip whose encoder already failed stops consuming output
+            # (its queue is being drained); written[i] stays at the last
+            # successfully flushed frame — the resume point.
+            if valid[i] > 0 and enc_errors[i] is None:
                 enc_qs[i].put(host[i, :valid[i]])
                 written[i] += valid[i]
 
@@ -117,14 +177,32 @@ def stabilize_multi(cfg: StabilizeConfig, params,
         valid = []
         with timer.stage("decode_wait"):
             for i in range(n):
+                if not done[i] and enc_errors[i] is not None:
+                    done[i] = True   # encoder died: stop feeding the clip
+                    _drain_decode(i)
                 if done[i]:
-                    chunks.append(np.repeat(last[i][None], t_chunk, axis=0))
+                    filler = blank if last[i] is None else np.repeat(
+                        last[i][None], t_chunk, axis=0)
+                    chunks.append(filler)
                     valid.append(0)
                     continue
                 c = dec_qs[i].get()
                 v = c.shape[0]
+                if v == 0 and dec_errors[i] is not None:
+                    # The decode worker's final (error) sentinel: every
+                    # good batch before it has been processed; the worker
+                    # has exited, so no drain is needed.
+                    done[i] = True
+                    chunks.append(blank if last[i] is None else np.repeat(
+                        last[i][None], t_chunk, axis=0))
+                    valid.append(0)
+                    continue
                 if v == 0 and last[i] is None:
-                    raise ValueError(f"clip {i} is empty")
+                    dec_errors[i] = ValueError(f"clip {i} is empty")
+                    done[i] = True
+                    chunks.append(blank)
+                    valid.append(0)
+                    continue
                 if v < t_chunk:
                     done[i] = True
                 if v > 0:
@@ -136,6 +214,8 @@ def stabilize_multi(cfg: StabilizeConfig, params,
                     c = np.repeat(last[i][None], t_chunk, axis=0)
                 chunks.append(c)
                 valid.append(v)
+        if all(done) and not any(valid):
+            break
         if halos is None:
             halos = jnp.stack(
                 [initial_halo(cfg, chunks[i][0]) for i in range(n)])
@@ -157,6 +237,9 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     # then race the in-flight writes and truncate outputs.
     for t in threads:
         t.join()
-    if errors:
-        raise errors[0]
-    return written
+    merged = [d if d is not None else e
+              for d, e in zip(dec_errors, enc_errors)]
+    result = MultiClipResult(written, merged)
+    if result.failed_clips and len(result.failed_clips) == n:
+        raise merged[result.failed_clips[0]]
+    return result
