@@ -1,0 +1,180 @@
+"""Request batching for the serving surface (VERDICT.md round-2 item 7).
+
+The HTTP endpoint used to serialize all device work through one lock, so
+N concurrent requests saw N× latency while the batched multi-clip device
+program sat unused. ``BatchStabilizer`` fixes that: request threads
+submit in-memory clips and block; a single device worker groups whatever
+arrived within a small window (plus everything already queued) into ONE
+vmapped chunk program — the same per-clip batching the offline
+multi-clip driver uses (pipeline/multiclip.py) — and demuxes the
+outputs.
+
+Batch shapes are padded to the next power of two (dummy replicated
+clips) so the jit cache holds at most log2(max_batch) programs per
+(T, H, W); mixed-resolution groups are split (one program per
+resolution). Clips inside a group may have different lengths — shorter
+ones are replicate-padded to the group's longest and trimmed on the way
+out, exactly like the offline driver.
+
+The reference has no serving stack at all (SURVEY.md §1: research
+scripts only; reference mount empty — citation unavailable); this is
+rebuild-only scope.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from dvsg_tpu.config import StabilizeConfig
+from dvsg_tpu.pipeline.stabilize import (fetch_frames, initial_halo,
+                                         put_frames, stabilize_chunk_impl)
+
+
+@dataclass
+class _Request:
+    frames: np.ndarray                    # (T, H, W, C) uint8
+    done: threading.Event = field(default_factory=threading.Event)
+    output: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+
+class BatchStabilizer:
+    """Thread-safe clip stabilizer that batches concurrent callers onto
+    one device program.
+
+    ``stabilize_clip`` blocks the calling thread until its clip is done;
+    concurrency comes from many threads calling it at once. ``window_s``
+    is how long the device worker waits for co-travellers after the
+    first request of a group arrives (a few ms: far below one chunk's
+    device time, so the added latency is noise while the win under
+    concurrency is ~Nx).
+    """
+
+    def __init__(self, cfg: StabilizeConfig, params,
+                 max_batch: int = 8, window_s: float = 0.005):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max(1, max_batch)
+        self.window_s = window_s
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._fns: Dict[tuple, object] = {}
+        self.stats = {"requests": 0, "batches": 0, "max_group": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- public API -----------------------------------------------------
+
+    def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
+        """(T, H, W, C) uint8 → stabilized same shape; thread-safe."""
+        if frames_u8.ndim != 4 or frames_u8.shape[0] == 0:
+            raise ValueError(f"need a (T, H, W, C) clip, "
+                             f"got {frames_u8.shape}")
+        req = _Request(np.asarray(frames_u8, np.uint8))
+        self._q.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.output
+
+    def close(self):
+        self._q.put(None)
+        self._worker.join()
+
+    # -- device worker --------------------------------------------------
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(group) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    # Still sweep anything ALREADY queued (zero wait).
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                else:
+                    try:
+                        item = self._q.get(timeout=left)
+                    except queue.Empty:
+                        break
+                if item is None:
+                    self._q.put(None)     # re-arm shutdown, finish group
+                    break
+                group.append(item)
+            self.stats["requests"] += len(group)
+            self.stats["max_group"] = max(self.stats["max_group"],
+                                          len(group))
+            by_res: Dict[tuple, List[_Request]] = {}
+            for r in group:
+                by_res.setdefault(r.frames.shape[1:], []).append(r)
+            for items in by_res.values():
+                try:
+                    self._run_group(items)
+                except Exception as e:     # noqa: BLE001 — demux errors
+                    for r in items:
+                        r.error = e
+                        r.done.set()
+
+    def _fn(self, batch: int):
+        key = batch
+        if key not in self._fns:
+            cfg = self.cfg
+
+            def step(params, frames, halos):
+                return jax.vmap(
+                    lambda f, h: stabilize_chunk_impl(cfg, params, f, h)
+                )(frames, halos)
+
+            self._fns[key] = jax.jit(step)
+        return self._fns[key]
+
+    def _run_group(self, items: List[_Request]):
+        import jax.numpy as jnp
+
+        b = len(items)
+        bp = 1
+        while bp < b:
+            bp *= 2
+        t_chunk = self.cfg.chunk_frames
+        lens = [r.frames.shape[0] for r in items]
+        max_len = max(lens)
+        clips = []
+        for r in items:
+            c = r.frames
+            if c.shape[0] < max_len:
+                c = np.concatenate(
+                    [c, np.repeat(c[-1:], max_len - c.shape[0], axis=0)])
+            clips.append(c)
+        while len(clips) < bp:                 # pad to the pow2 program
+            clips.append(clips[0])
+        batch = np.stack(clips)                # (bp, max_len, H, W, C)
+
+        halos = jnp.stack([initial_halo(self.cfg, clips[i][0])
+                           for i in range(bp)])
+        fn = self._fn(bp)
+        outs = []
+        for start in range(0, max_len, t_chunk):
+            chunk = batch[:, start:start + t_chunk]
+            n_valid = chunk.shape[1]
+            if n_valid < t_chunk:
+                pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
+                chunk = np.concatenate([chunk, pad], axis=1)
+            out, halos, _ = fn(self.params, put_frames(chunk), halos)
+            outs.append(fetch_frames(out[:, :n_valid]))
+        full = np.concatenate(outs, axis=1)
+        self.stats["batches"] += 1
+        for i, r in enumerate(items):
+            r.output = full[i, :lens[i]]
+            r.done.set()

@@ -7,10 +7,12 @@ A threaded stdlib HTTP server (no extra dependencies) exposing:
                              the stabilized container. Query params:
                              ?format=mp4 (default)
 
-The device work reuses the streaming pipeline; requests are serialized
-through a single device worker (one model instance per server), with
-decode/encode on the request thread — the same ownership discipline as the
-batch pipeline. Run:
+Device work goes through ``pipeline.batching.BatchStabilizer``: one
+device worker groups concurrent requests (a few-ms window) into a single
+vmapped multi-clip chunk program and demuxes the outputs, so N
+concurrent requests cost ~one batched pass instead of N serialized runs
+(VERDICT.md round-2 item 7). Decode/encode stay on the request thread —
+the same ownership discipline as the batch pipeline. Run:
 
   python -m dvsg_tpu.serve --checkpoint checkpoints/flagship.npz --port 8799
 """
@@ -18,12 +20,10 @@ batch pipeline. Run:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import os
 import sys
 import tempfile
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -34,8 +34,7 @@ _ALLOWED_FORMATS = frozenset({"mp4", "m4v", "mov", "avi", "mkv", "webm"})
 
 
 class _State:
-    stabilizer = None
-    lock = threading.Lock()     # device worker serialization
+    engine = None               # BatchStabilizer (owns the device worker)
     model_desc = ""
 
 
@@ -60,7 +59,8 @@ def _build_handler(state: _State):
                 import jax
                 self._json(200, {"status": "ok",
                                  "backend": jax.default_backend(),
-                                 "model": state.model_desc})
+                                 "model": state.model_desc,
+                                 "batching": dict(state.engine.stats)})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -97,6 +97,8 @@ def _build_handler(state: _State):
 
 
 def _stabilize_bytes(state: _State, data: bytes, fmt: str):
+    import numpy as np
+
     from dvsg_tpu.utils import video_io
 
     with tempfile.TemporaryDirectory() as d:
@@ -104,23 +106,38 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str):
         dst = os.path.join(d, f"out.{fmt}")
         with open(src, "wb") as f:
             f.write(data)
-        reader = video_io.VideoReader(src)
-        writer = video_io.VideoWriter(dst, reader.width, reader.height,
-                                      reader.fps)
-        with state.lock:            # one request on the device at a time
-            n = state.stabilizer.stabilize_stream(reader, writer)
-        reader.close()
-        writer.close()
+        with video_io.VideoReader(src) as reader:
+            fps = reader.fps
+            w, h = reader.width, reader.height
+            chunks = []
+            while True:
+                c = reader.read_batch(256)
+                if c.shape[0] == 0:
+                    break
+                chunks.append(c)
+                if c.shape[0] < 256:
+                    break
+        if not chunks:
+            raise ValueError("no decodable frames in request body")
+        frames = np.concatenate(chunks, axis=0)
+        # Concurrent requests ride ONE batched device program; decode and
+        # encode stay on this request thread.
+        out = state.engine.stabilize_clip(frames)
+        with video_io.VideoWriter(dst, w, h, fps) as writer:
+            writer.write_batch(out)
         with open(dst, "rb") as f:
-            return f.read(), n
+            return f.read(), out.shape[0]
 
 
-def make_server(host: str, port: int, stabilizer,
+def make_server(host: str, port: int, engine,
                 model_desc: str = "") -> ThreadingHTTPServer:
+    """``engine``: a pipeline.batching.BatchStabilizer."""
     state = _State()
-    state.stabilizer = stabilizer
+    state.engine = engine
     state.model_desc = model_desc
-    return ThreadingHTTPServer((host, port), _build_handler(state))
+    srv = ThreadingHTTPServer((host, port), _build_handler(state))
+    srv.engine = engine
+    return srv
 
 
 def main(argv=None) -> int:
@@ -133,6 +150,12 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-frames", type=int, default=16)
     p.add_argument("--warp-impl", default="auto")
     p.add_argument("--platform", default=None)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="max concurrent requests fused into one device "
+                        "program")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="how long the device worker waits for "
+                        "co-travellers after a request arrives")
     args = p.parse_args(argv)
 
     import jax
@@ -144,7 +167,7 @@ def main(argv=None) -> int:
 
     from dvsg_tpu.config import ModelConfig, StabilizeConfig
     from dvsg_tpu.models import motion_cnn
-    from dvsg_tpu.pipeline.stabilize import Stabilizer
+    from dvsg_tpu.pipeline.batching import BatchStabilizer
 
     if args.checkpoint:
         from dvsg_tpu.cli import _load_any_checkpoint
@@ -159,7 +182,9 @@ def main(argv=None) -> int:
 
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
                           warp_impl=args.warp_impl)
-    srv = make_server(args.host, args.port, Stabilizer(cfg, params), desc)
+    engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
+                             window_s=args.batch_window_ms / 1e3)
+    srv = make_server(args.host, args.port, engine, desc)
     print(f"serving on http://{args.host}:{args.port}  ({desc})")
     try:
         srv.serve_forever()

@@ -64,3 +64,59 @@ def op_mean_ms(summary: Dict[str, dict], substring: str) -> Optional[float]:
         if substring in name:
             return rec["mean_ms"]
     return None
+
+
+def device_busy_stats(trace_dir: str) -> Optional[Dict[str, float]]:
+    """Device busy-vs-idle split from the newest trace in trace_dir.
+
+    Sums "XLA Ops" lane durations on every /device:* process and compares
+    against the span from first to last device event — the window in
+    which the device could have been computing. Returns
+    {busy_ms, span_ms, idle_pct} or None if no device lane was captured.
+    Used for the SURVEY.md §7 stage-4 overlap gate (device idle < 20%).
+    """
+    files = sorted(glob.glob(os.path.join(trace_dir, "**",
+                                          "*.trace.json.gz"),
+                             recursive=True), key=os.path.getmtime)
+    if not files:
+        return None
+    with gzip.open(files[-1]) as fh:
+        data = json.load(fh)
+    dev_pids = set()
+    op_tids = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name" and "/device:" in str(
+                ev.get("args", {}).get("name", "")):
+            dev_pids.add(ev["pid"])
+        if ev.get("name") == "thread_name" and \
+                ev.get("args", {}).get("name") == "XLA Ops":
+            op_tids.setdefault(ev["pid"], set()).add(ev["tid"])
+    intervals = []
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        if ev.get("tid") not in op_tids.get(ev["pid"], ()):
+            continue
+        ts = ev.get("ts", 0)
+        intervals.append((ts, ts + ev.get("dur", 0)))
+    if not intervals:
+        return None
+    # Events nest (module > op), so busy time is the interval UNION.
+    intervals.sort()
+    busy = 0.0
+    cur_s, cur_e = intervals[0]
+    for s, e in intervals[1:]:
+        if s > cur_e:
+            busy += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    busy += cur_e - cur_s
+    span = intervals[-1][1] - intervals[0][0]
+    span = max(span, cur_e - intervals[0][0])
+    if span <= 0:
+        return None
+    return {"busy_ms": busy / 1e3, "span_ms": span / 1e3,
+            "idle_pct": max(0.0, 100.0 * (1.0 - busy / span))}

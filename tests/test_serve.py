@@ -10,7 +10,7 @@ import pytest
 from dvsg_tpu import serve
 from dvsg_tpu.config import ModelConfig, StabilizeConfig
 from dvsg_tpu.models import motion_cnn
-from dvsg_tpu.pipeline.stabilize import Stabilizer
+from dvsg_tpu.pipeline.batching import BatchStabilizer
 from dvsg_tpu.utils import video_io
 
 MCFG = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
@@ -21,22 +21,28 @@ CFG = StabilizeConfig(model=MCFG, chunk_frames=4, warp_impl="lax")
 @pytest.fixture(scope="module")
 def server():
     params = motion_cnn.init_params(MCFG, jax.random.key(0))
-    srv = serve.make_server("127.0.0.1", 0, Stabilizer(CFG, params),
-                            "test-model")
+    engine = BatchStabilizer(CFG, params, max_batch=4, window_s=0.25)
+    srv = serve.make_server("127.0.0.1", 0, engine, "test-model")
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
     srv.shutdown()
+    engine.close()
 
 
-def test_healthz(server):
-    with urllib.request.urlopen(server + "/healthz") as r:
+@pytest.fixture(scope="module")
+def url(server):
+    return f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def test_healthz(url):
+    with urllib.request.urlopen(url + "/healthz") as r:
         assert r.status == 200
         body = r.read().decode()
     assert "ok" in body and "test-model" in body
 
 
-def test_stabilize_roundtrip(server, tmp_path, rng):
+def test_stabilize_roundtrip(url, tmp_path, rng):
     frames = (rng.random((9, 32, 48, 3)) * 255).astype(np.uint8)
     src = str(tmp_path / "in.mp4")
     with video_io.VideoWriter(src, 48, 32, fps=24.0) as w:
@@ -44,7 +50,7 @@ def test_stabilize_roundtrip(server, tmp_path, rng):
     with open(src, "rb") as f:
         payload = f.read()
 
-    req = urllib.request.Request(server + "/stabilize", data=payload,
+    req = urllib.request.Request(url + "/stabilize", data=payload,
                                  method="POST")
     with urllib.request.urlopen(req) as r:
         assert r.status == 200
@@ -59,17 +65,17 @@ def test_stabilize_roundtrip(server, tmp_path, rng):
     assert out.shape == frames.shape
 
 
-def test_bad_requests(server):
+def test_bad_requests(url):
     import urllib.error
     with pytest.raises(urllib.error.HTTPError) as e:
-        urllib.request.urlopen(server + "/nope")
+        urllib.request.urlopen(url + "/nope")
     assert e.value.code == 404
-    req = urllib.request.Request(server + "/stabilize", data=b"",
+    req = urllib.request.Request(url + "/stabilize", data=b"",
                                  method="POST")
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
-    req = urllib.request.Request(server + "/stabilize", data=b"garbage",
+    req = urllib.request.Request(url + "/stabilize", data=b"garbage",
                                  method="POST")
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
@@ -77,7 +83,7 @@ def test_bad_requests(server):
     # Unknown format values are rejected with a clear 400 (ADVICE r1:
     # must not leak into temp filenames / the Content-Type header).
     req = urllib.request.Request(
-        server + "/stabilize?format=../../evil", data=b"garbage",
+        url + "/stabilize?format=../../evil", data=b"garbage",
         method="POST")
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
@@ -85,13 +91,15 @@ def test_bad_requests(server):
     assert "unsupported format" in e.value.read().decode()
 
 
-def test_concurrent_requests(server, tmp_path, rng):
-    """Two simultaneous stabilize requests: decode runs concurrently on
-    request threads (native-pool thread safety), device work serialized."""
+def test_concurrent_requests_share_one_device_batch(server, url, tmp_path,
+                                                    rng):
+    """Concurrent stabilize requests must ride ONE batched device program
+    (VERDICT.md round-2 item 7): the engine's stats record a group of
+    more than one request, and every response is correct."""
     import concurrent.futures
 
     payloads = []
-    for i in range(2):
+    for i in range(3):
         frames = (rng.random((6, 32, 48, 3)) * 255).astype(np.uint8)
         p = str(tmp_path / f"cc{i}.mp4")
         with video_io.VideoWriter(p, 48, 32, fps=24.0) as w:
@@ -100,11 +108,34 @@ def test_concurrent_requests(server, tmp_path, rng):
             payloads.append(f.read())
 
     def post(data):
-        req = urllib.request.Request(server + "/stabilize", data=data,
+        req = urllib.request.Request(url + "/stabilize", data=data,
                                      method="POST")
         with urllib.request.urlopen(req, timeout=120) as r:
             return r.status, r.headers["X-Frames"]
 
-    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+    before = dict(server.engine.stats)
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
         results = list(ex.map(post, payloads))
-    assert results == [(200, "6"), (200, "6")]
+    assert results == [(200, "6")] * 3
+    assert server.engine.stats["max_group"] >= 2, server.engine.stats
+    assert server.engine.stats["batches"] - before.get("batches", 0) < 3
+
+
+def test_batch_engine_matches_single(rng):
+    """Batched outputs must equal the single-clip pipeline exactly."""
+    import concurrent.futures
+
+    from dvsg_tpu.pipeline.stabilize import Stabilizer
+
+    params = motion_cnn.init_params(MCFG, jax.random.key(1))
+    engine = BatchStabilizer(CFG, params, max_batch=4, window_s=0.25)
+    clips = [(rng.random((l, 32, 48, 3)) * 255).astype(np.uint8)
+             for l in (9, 5, 7)]
+    try:
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(engine.stabilize_clip, clips))
+    finally:
+        engine.close()
+    single = Stabilizer(CFG, params)
+    for clip, out in zip(clips, outs):
+        np.testing.assert_array_equal(out, single.stabilize_clip(clip))
