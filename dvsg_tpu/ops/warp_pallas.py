@@ -211,6 +211,40 @@ def _pad_to_multiple(arr, mult, axis):
     return jnp.pad(arr, pads, mode="edge")
 
 
+def _bases_and_ok(x, wp):
+    """Per-(batch, column-block) first-stripe base + coverage predicate.
+
+    The base is the mean source column's register minus one (centers the
+    3-stripe window on the block's displaced source columns); the
+    predicate checks that both bilinear taps of every output pixel land
+    inside that window (VERDICT.md round-1 item 4) — the same quantities
+    the kernel uses."""
+    b, hop, wop = x.shape
+    n_cb = wop // TILE_W
+    x_blocks = x.reshape(b, hop, n_cb, TILE_W)
+    x_mean = x_blocks.mean(axis=(1, 3))
+    sbase = jnp.clip((x_mean // TILE_W).astype(jnp.int32) - 1,
+                     0, wp // TILE_W - N_STRIPES)
+    x0b = jnp.floor(x_blocks).astype(jnp.int32)
+    base = (sbase * TILE_W)[:, None, :, None]
+    ok = jnp.all((x0b - base >= 0)
+                 & (x0b + 1 - base < N_STRIPES * TILE_W))
+    return sbase, ok
+
+
+def _coverage_ok(frames, grids, max_dx_px, tile_h):
+    """Standalone coverage predicate (same math as _run_warp's prep),
+    for guards that must not run the kernel — e.g. the differentiable
+    path's cond."""
+    _, h, w, _ = frames.shape
+    pad_w = TILE_W * max(_cdiv(max_dx_px + 2, TILE_W), 1)
+    wp = _cdiv(w + 2 * pad_w, TILE_W) * TILE_W
+    x = (grids[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
+    x = jnp.clip(x, 0.0, w - 1) + pad_w
+    x = _pad_to_multiple(_pad_to_multiple(x, tile_h, 1), TILE_W, 2)
+    return _bases_and_ok(x, wp)[1]
+
+
 def _run_warp(frames, grids, max_dx_px, tile_h, interpret, with_grad):
     """Shared layout/padding/scalar-base prep + pallas_call for both the
     inference kernel and the gradient-emitting kernel."""
@@ -243,21 +277,7 @@ def _run_warp(frames, grids, max_dx_px, tile_h, interpret, with_grad):
     hop, wop = y.shape[1], y.shape[2]
     n_cb = wop // TILE_W
 
-    # Per-(batch, column-block) first-stripe base, scalar-prefetched into
-    # the BlockSpec index maps: the mean source column's register minus one
-    # centers the 3-stripe window on the block's displaced source columns.
-    x_blocks = x.reshape(b, hop, n_cb, TILE_W)
-    x_mean = x_blocks.mean(axis=(1, 3))
-    sbase = jnp.clip((x_mean // TILE_W).astype(jnp.int32) - 1,
-                     0, wp // TILE_W - N_STRIPES)
-
-    # Exact coverage predicate from the same quantities the kernel uses:
-    # both bilinear taps of every output pixel must land inside the
-    # 3-stripe window anchored at sbase (VERDICT.md round-1 item 4).
-    x0b = jnp.floor(x_blocks).astype(jnp.int32)
-    base = (sbase * TILE_W)[:, None, :, None]
-    ok = jnp.all((x0b - base >= 0)
-                 & (x0b + 1 - base < N_STRIPES * TILE_W))
+    sbase, ok = _bases_and_ok(x, wp)
 
     # Grid order (b, c, cb, rt): the column stripes stay constant across
     # all row tiles of a column block, so Pallas fetches each stripe once
@@ -340,18 +360,44 @@ def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _grids_diff_pallas(frames: jax.Array, grids: jax.Array,
+                       max_dx_px: int = 126,
+                       tile_h: int = TILE_H,
+                       interpret: bool = False) -> jax.Array:
+    """Unguarded kernel core of bilinear_warp_batch_grids_diff."""
+    out, _ = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
+                       with_grad=False)
+    return out.astype(frames.dtype)
+
+
 def bilinear_warp_batch_grids_diff(frames: jax.Array, grids: jax.Array,
                                    max_dx_px: int = 126,
                                    tile_h: int = TILE_H,
-                                   interpret: bool = False) -> jax.Array:
+                                   interpret: bool = False,
+                                   guarded: bool = True) -> jax.Array:
     """Fused warp, differentiable w.r.t. GRIDS ONLY (frames are treated as
     constants — their cotangent is zero). This is the training-path warp:
     the pixel loss differentiates through the sampling grid into the CNN,
     while the sampled frames are data. Use warp_ref for full autodiff.
+
+    ``guarded`` (default): the stripe-coverage contract is enforced here
+    too (ADVICE r2) — contract-violating grids take the differentiable
+    lax oracle via ``lax.cond`` (frames stop-gradiented to preserve the
+    grads-only-w.r.t.-grids semantics), so the training path can no more
+    silently corrupt pixels than the inference path.
     """
-    out, _ = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
-                       with_grad=False)
-    return out.astype(frames.dtype)
+    if not guarded:
+        return _grids_diff_pallas(frames, grids, max_dx_px, tile_h,
+                                  interpret)
+    ok = _coverage_ok(frames, grids, max_dx_px, tile_h)
+    return jax.lax.cond(
+        ok,
+        lambda f, g: _grids_diff_pallas(f, g, max_dx_px, tile_h,
+                                        interpret),
+        lambda f, g: warp_ref.bilinear_warp_batch(
+            jax.lax.stop_gradient(f).astype(jnp.float32), g
+        ).astype(f.dtype),
+        frames, grids)
 
 
 def _gdiff_fwd(frames, grids, max_dx_px, tile_h, interpret):
@@ -378,7 +424,7 @@ def _gdiff_bwd(max_dx_px, tile_h, interpret, res, g):
     return zero_frames, dgrids
 
 
-bilinear_warp_batch_grids_diff.defvjp(_gdiff_fwd, _gdiff_bwd)
+_grids_diff_pallas.defvjp(_gdiff_fwd, _gdiff_bwd)
 
 
 def stripes_for_max_dx(max_dx_px: int) -> int:

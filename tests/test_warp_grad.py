@@ -62,3 +62,39 @@ def test_frames_cotangent_is_zero(rng):
 
     g = np.asarray(jax.grad(loss)(frames))
     assert np.all(g == 0.0)  # documented grids-only contract
+
+
+def test_guarded_diff_falls_back_on_violating_grid(rng):
+    """ADVICE r2: the differentiable path enforces the coverage contract
+    too — a violating grid takes the (differentiable) lax oracle, so
+    values match the oracle and grid gradients stay finite and correct."""
+    h, w = 32, 640
+    frames = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+    xs = jnp.linspace(-1, 1, w)
+    ys = jnp.linspace(-1, 1, h)
+    gx, gy = jnp.meshgrid(xs, ys)
+    wild = jnp.stack([jnp.sin(gx * 31.0), gy], -1)[None]
+    assert not bool(warp_pallas._coverage_ok(frames, wild, 64,
+                                             warp_pallas.TILE_H))
+
+    out = warp_pallas.bilinear_warp_batch_grids_diff(
+        frames, wild, 64, warp_pallas.TILE_H, INTERPRET)
+    want = warp_ref.bilinear_warp_batch(frames, wild)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5)
+
+    tgt = jnp.asarray(rng.random(frames.shape, dtype=np.float32))
+
+    def loss(g):
+        o = warp_pallas.bilinear_warp_batch_grids_diff(
+            frames, g, 64, warp_pallas.TILE_H, INTERPRET)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(g):
+        return jnp.sum((warp_ref.bilinear_warp_batch(
+            jax.lax.stop_gradient(frames), g) - tgt) ** 2)
+
+    g_got = np.asarray(jax.grad(loss)(wild))
+    g_ref = np.asarray(jax.grad(loss_ref)(wild))
+    assert np.isfinite(g_got).all()
+    np.testing.assert_allclose(g_got, g_ref, atol=1e-3, rtol=1e-3)
