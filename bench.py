@@ -159,11 +159,16 @@ def _bench_warp_kernel(cfg, h, w, batch, n_iters=20):
     out = fn(frames, offsets)
     fetch(out)
     t0 = time.perf_counter()
+    fetch(out)
+    t_fetch = time.perf_counter() - t0   # tunnel RTT, see _bench_chunked
+    t0 = time.perf_counter()
     out = frames
     for _ in range(n_iters):
         out = fn(out, offsets)  # chained: defeats async-dispatch illusions
     fetch(out)
     dt = time.perf_counter() - t0
+    if t_fetch < 0.25 * dt:
+        dt -= t_fetch
     return dt / (n_iters * batch) * 1e6
 
 
@@ -221,7 +226,8 @@ def main():
         f"(uncorrected {d720.get('fps_uncorrected', fps):.2f}, "
         f"RTT correction {d720.get('fetch_correction_pct', 0):.1f}%)")
 
-    warp_us = _bench_warp_kernel(cfg, h, w, batch=4)
+    warp_us = _bench_warp_kernel(cfg, h, w, batch=8,
+                                 n_iters=60 if on_tpu else 5)
     log(f"warp kernel: {warp_us:.1f} us/frame at 720p "
         f"({warp_ops_name(cfg)} impl)")
 
@@ -243,7 +249,8 @@ def main():
             sweep[name] = {"fps_per_chip": fps_s, "chunk_frames": t, **det}
             log(f"{name} chunked throughput: {fps_s:.2f} frames/s/chip "
                 f"(T={t})")
-        warp_us_1080 = _bench_warp_kernel(cfg, 1080, 1920, batch=4)
+        warp_us_1080 = _bench_warp_kernel(cfg, 1080, 1920, batch=8,
+                                          n_iters=40)
         log(f"warp kernel: {warp_us_1080:.1f} us/frame at 1080p")
         sweep["1080p"]["warp_us_per_frame"] = warp_us_1080
 
@@ -251,7 +258,7 @@ def main():
         cfg_lat = StabilizeConfig(model=mcfg, chunk_frames=1,
                                   warp_impl="auto")
         lat_fps = _bench_chunked(cfg_lat, params, frames[:1],
-                                 n_iters=50, warm_reps=2)
+                                 n_iters=400, warm_reps=2)
         latency_ms = 1000.0 / lat_fps if lat_fps else None
         log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
 
