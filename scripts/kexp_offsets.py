@@ -95,7 +95,8 @@ def make_kernel(tile_h, channels, pad_h, n_sub, unroll, h, w, gw, scale,
 
 
 def launch(planes, yoffr, xoffr, sbase, h, w, wop, c, gw, scale,
-           tile_h, n_sub, pad_h, mode, rt_outer=False):
+           tile_h, n_sub, pad_h, mode, rt_outer=False,
+           unroll=warp_wide.UNROLL):
     b, hp, lp = planes.shape
     hop = yoffr.shape[1]
     n_cb = (wop * c) // TILE_W
@@ -135,7 +136,7 @@ def launch(planes, yoffr, xoffr, sbase, h, w, wop, c, gw, scale,
                   *(stripe_spec(o) for o in range(N_STRIPES))],
         out_specs=out_spec)
     out = pl.pallas_call(
-        make_kernel(tile_h, c, tile_h, n_sub, warp_wide.UNROLL, h, w, gw,
+        make_kernel(tile_h, c, tile_h, n_sub, unroll, h, w, gw,
                     scale, mode, rt_outer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hop, n_cb * TILE_W), jnp.uint8),
@@ -150,6 +151,9 @@ def main():
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--tile-h", type=int, default=warp_wide.TILE_H)
+    ap.add_argument("--unroll", type=int, default=warp_wide.UNROLL)
+    ap.add_argument("--n-sub", type=int, default=0,
+                    help="override pick_n_sub (0 = auto)")
     ap.add_argument("variants", nargs="*",
                     default=["full", "unpacked", "one_candidate",
                              "coord_only", "no_coord", "dma_only",
@@ -165,7 +169,7 @@ def main():
     offsets = jax.vmap(lambda p: synthetic.theta_to_offsets(
         synthetic.jitter_theta(p), gh, gw))(path)
 
-    n_sub = warp_wide.pick_n_sub(h, tile_h)
+    n_sub = args.n_sub or warp_wide.pick_n_sub(h, tile_h)
     blk = tile_h * n_sub
     wop = warp_wide._cdiv(w, TILE_W) * TILE_W
 
@@ -182,8 +186,8 @@ def main():
     unpacked_in = jax.jit(lambda: prep(False)[:4])()
     packed_in = [jax.block_until_ready(x) for x in packed_in]
     unpacked_in = [jax.block_until_ready(x) for x in unpacked_in]
-    print(f"backend={jax.default_backend()} n_sub={n_sub} tile_h={tile_h}",
-          flush=True)
+    print(f"backend={jax.default_backend()} n_sub={n_sub} tile_h={tile_h} "
+          f"unroll={args.unroll}", flush=True)
 
     def fetch(x):
         return float(jnp.sum(x.reshape(-1)[::4097].astype(jnp.float32)))
@@ -194,7 +198,7 @@ def main():
         ins = unpacked_in if mode == "unpacked" else packed_in
         fn = jax.jit(lambda p_, y_, x_, s_, m=m, ro=rt_outer: launch(
             p_, y_, x_, s_, h, w, wop, c, gw, 1.0, tile_h, n_sub,
-            tile_h, m, ro))
+            tile_h, m, ro, args.unroll))
         o = fn(*ins)
         fetch(o)
         t0 = time.perf_counter()
