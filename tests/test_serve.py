@@ -139,3 +139,26 @@ def test_batch_engine_matches_single(rng):
     single = Stabilizer(CFG, params)
     for clip, out in zip(clips, outs):
         np.testing.assert_array_equal(out, single.stabilize_clip(clip))
+
+
+def test_batch_engine_mixed_resolutions(rng):
+    """A concurrent group with two resolutions splits into one program
+    per resolution and still returns correct outputs."""
+    import concurrent.futures
+
+    from dvsg_tpu.pipeline.stabilize import Stabilizer
+
+    params = motion_cnn.init_params(MCFG, jax.random.key(2))
+    engine = BatchStabilizer(CFG, params, max_batch=4, window_s=0.25)
+    clips = [(rng.random((6, 32, 48, 3)) * 255).astype(np.uint8),
+             (rng.random((6, 40, 64, 3)) * 255).astype(np.uint8),
+             (rng.random((6, 32, 48, 3)) * 255).astype(np.uint8)]
+    try:
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(engine.stabilize_clip, clips))
+    finally:
+        engine.close()
+    single = Stabilizer(CFG, params)
+    for clip, out in zip(clips, outs):
+        assert out.shape == clip.shape
+        np.testing.assert_array_equal(out, single.stabilize_clip(clip))
