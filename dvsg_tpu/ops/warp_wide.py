@@ -82,9 +82,14 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def pick_n_sub(ho: int, tile_h: int = TILE_H, max_waste: float = 0.10) -> int:
-    """Row-subtiles per grid step: largest of 12/8/4/2/1 whose block
-    padding wastes <= max_waste of the output rows."""
-    for n_sub in (12, 8, 4, 2, 1):
+    """Row-subtiles per grid step: largest of 24/12/8/4/2/1 whose block
+    padding wastes <= max_waste of the output rows. Bigger blocks
+    amortize per-step DMA bookkeeping (n_sub=24 measured 692 vs 714
+    µs/frame at 720p, dma_only 178 vs 251); row-block stripe anchoring
+    coarsens with blk, but even one block per 720p frame leaves the
+    rotation-drift slack positive (~36 px of theta*H drift vs ~83 px,
+    and the coverage guard still catches any violation)."""
+    for n_sub in (24, 12, 8, 4, 2, 1):
         blk = tile_h * n_sub
         hop = _cdiv(ho, blk) * blk
         if (hop - ho) / ho <= max_waste:
