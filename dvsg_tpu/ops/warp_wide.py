@@ -335,12 +335,16 @@ def _prep_planes(frames_u8, tile_h, packed=False):
     planes = planes.reshape(b, hp, planes.shape[2] * c)   # free view
     # u8 -> f32 OUTSIDE the kernel: elementwise (no transpose!) and XLA-
     # fused; Mosaic's in-kernel u8 unpack is a pathological relayout.
-    planes = planes.astype(jnp.float32)
     if packed:
+        # Slice/concat in U8 and cast both taps inside ONE fusion: doing
+        # this after the f32 cast made XLA materialize a second full-size
+        # f32 plane for the shifted slice plus a layout copy (~2 ms per
+        # 720p chunk, trace-verified round-3).
         shifted = jnp.concatenate(
             [planes[:, :, c:], planes[:, :, -c:]], axis=2)
-        planes = planes * 1024.0 + shifted
-    return planes, pad_h, pad_l
+        return (planes.astype(jnp.float32) * 1024.0
+                + shifted.astype(jnp.float32)), pad_h, pad_l
+    return planes.astype(jnp.float32), pad_h, pad_l
 
 
 def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
