@@ -262,12 +262,19 @@ def main():
         latency_ms = 1000.0 / lat_fps if lat_fps else None
         log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
 
+        cfg_mc = StabilizeConfig(model=mcfg, chunk_frames=4,
+                                 warp_impl="auto")
+        fps_8clip = _bench_batched_clips(cfg_mc, params, h, w)
+        log(f"batched 8-clip 720p (config 4, device side): "
+            f"{fps_8clip:.1f} frames/s aggregate")
+
         overlap = _bench_overlap(cfg, params, h, w)
         log(f"overlapped run: {overlap['overlapped_fps']:.1f} fps, device "
             f"idle {overlap.get('overlap_device_idle_pct')}% "
             "(gate < 20, includes tunnel dispatch latency)")
     else:
         overlap = {}
+        fps_8clip = None
 
     cpu_fps = _bench_reference_style_cpu(
         ModelConfig(dtype="float32"), h, w)
@@ -286,6 +293,7 @@ def main():
         "fetch_correction_pct_720p": d720.get("fetch_correction_pct"),
         "warp_us_per_frame_720p": warp_us,
         "resolution_sweep": sweep,
+        "fps_720p_8clip_batch": fps_8clip,
         "overlap": overlap,
         "latency_ms_720p_T1": latency_ms,
         "reference_style_cpu_fps": cpu_fps,
@@ -320,6 +328,45 @@ def _shaky_frames(t, h, w):
     frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(42), t,
                                                   h, w)
     return np.asarray(frames_u8)
+
+
+def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=4, n_iters=40):
+    """BASELINE.json config 4 device side: an 8-clip 720p batch through
+    the vmapped multi-clip chunk program (the same program
+    `stabilize-batch`, `pipeline/multiclip.py`, and the serving batch
+    engine dispatch). Reports aggregate frames/s; host-I/O overlap is
+    measured separately (``overlap``/``host_io``)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from dvsg_tpu.pipeline.stabilize import (initial_halo,
+                                             stabilize_chunk_impl)
+
+    def fetch(x):
+        return float(jnp.sum(x.astype(jnp.float32).reshape(-1)[::4097]))
+
+    frames = jnp.asarray(
+        np.stack([_shaky_frames(t, h, w) for _ in range(n_clips)]))
+    halos = jnp.stack([initial_halo(cfg, np.asarray(frames[i, 0]))
+                       for i in range(n_clips)])
+
+    step = jax.jit(lambda p, f, hl: jax.vmap(
+        lambda ff, hh: stabilize_chunk_impl(cfg, p, ff, hh)[:2])(f, hl))
+    out = frames
+    for _ in range(8):
+        out, halos = step(params, out, halos)
+    fetch(out)
+    t0 = time.perf_counter()
+    fetch(out)
+    t_fetch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out, halos = step(params, out, halos)
+    fetch(out)
+    dt = time.perf_counter() - t0
+    if t_fetch < 0.25 * dt:
+        dt -= t_fetch
+    return (n_iters * n_clips * t) / dt
 
 
 def _bench_overlap(cfg, params, h, w, n_chunks=8):

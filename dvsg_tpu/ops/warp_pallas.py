@@ -352,10 +352,14 @@ def bilinear_warp_batch(frames: jax.Array, grids: jax.Array,
     out, ok = _run_warp(frames, grids, max_dx_px, tile_h, interpret,
                         with_grad=False)
     if guarded:
-        out = jax.lax.cond(
-            ok, lambda _: out,
-            lambda _: warp_ref.bilinear_warp_batch(
-                frames.astype(jnp.float32), grids), None)
+        # guard_cond, not a bare lax.cond: vmapped callers must not
+        # execute the oracle branch per batch member (ops/guard.py).
+        from dvsg_tpu.ops.guard import guard_cond
+        out = guard_cond(
+            ok, out,
+            lambda f, g: warp_ref.bilinear_warp_batch(
+                f.astype(jnp.float32), g),
+            frames, grids)
     return out.astype(frames.dtype)
 
 

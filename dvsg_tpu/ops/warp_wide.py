@@ -619,16 +619,19 @@ def warp_u8_offsets(frames_u8: jax.Array, offsets: jax.Array,
     if not guarded:
         return out
 
-    def oracle(_):
+    def oracle(fr, offs):
         from dvsg_tpu.ops import grid as grid_ops
         g = jax.vmap(lambda o: grid_ops.grid_from_offsets(
-            o, h, w, border_crop=border_crop))(offsets)
-        return _oracle_u8(frames_u8, g)
+            o, h, w, border_crop=border_crop))(offs)
+        return _oracle_u8(fr, g)
 
     # The kernel always runs; the cond only selects the small u8 outputs
     # (see warp_u8_batch). The false branch captures frames + the tiny
-    # offset field only.
-    return jax.lax.cond(ok, lambda _: out, oracle, None)
+    # offset field only. guard_cond (not a bare lax.cond) so vmapped
+    # callers — every multi-clip surface — don't execute the oracle
+    # branch per clip (ops/guard.py).
+    from dvsg_tpu.ops.guard import guard_cond
+    return guard_cond(ok, out, oracle, frames_u8, offsets)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dx_px", "tile_h",
@@ -675,6 +678,7 @@ def warp_u8_batch(frames_u8: jax.Array, grids: jax.Array,
     # made XLA copy the large f32 planes/coords operands into the cond
     # (~180 us/frame measured); selecting outputs costs ~a u8 copy.
     # Callers holding coarse offsets should use warp_u8_offsets instead —
-    # its fallback branch captures only the tiny offset field.
-    return jax.lax.cond(ok, lambda _: out,
-                        lambda _: _oracle_u8(frames_u8, grids), None)
+    # its fallback branch captures only the tiny offset field. guard_cond
+    # keeps the oracle branch off the path for vmapped callers.
+    from dvsg_tpu.ops.guard import guard_cond
+    return guard_cond(ok, out, _oracle_u8, frames_u8, grids)

@@ -281,3 +281,72 @@ class TestOffsetsKernel:
             frames, warp_impl=impl, offsets=off)
         want = _offsets_oracle(frames, off)
         assert np.abs(np.asarray(out).astype(int) - want).max() <= 1
+
+
+class TestVmappedGuard:
+    """The coverage guard must stay off the oracle path under vmap.
+
+    Every production multi-clip surface (pipeline/multiclip.py,
+    parallel/dp.py, the serving batch engine) vmaps the chunk program
+    over clips. jax.vmap's rule for a bare lax.cond with a batched
+    predicate is select_n — BOTH branches execute per batch member, so
+    the guarded warp would run the slow gather oracle for every clip
+    (measured 97x on the 8-clip 720p program). ops/guard.py installs a
+    custom_vmap rule; these tests pin its semantics and structure.
+    """
+
+    def _clips(self, rng):
+        h, w = 32, 640
+        frames = _frames(rng, 2, h, w).reshape(2, 1, h, w, 3)
+        smooth = (rng.random((1, 4, 16, 2), dtype=np.float32) - 0.5) * 0.1
+        wild = np.zeros((1, 4, 16, 2), np.float32)
+        wild[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
+        return frames, jnp.asarray(np.stack([smooth, wild]))
+
+    def test_vmapped_mixed_batch_matches_per_clip(self, rng):
+        """One covered clip + one contract-violating clip: the batched
+        program must equal the per-clip results (violator repaired via
+        the oracle, covered clip kept on the kernel path)."""
+        frames, offs = self._clips(rng)
+        fn = lambda f, o: warp_wide.warp_u8_offsets(f, o,
+                                                    interpret=INTERPRET)
+        got = np.asarray(jax.vmap(fn)(frames, offs))
+        want = np.stack([np.asarray(fn(frames[i], offs[i]))
+                         for i in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_vmapped_guard_keeps_cond(self, rng):
+        """Structural: the vmapped guarded program still contains a cond
+        (the custom_vmap rule's all(ok) hoist). A bare lax.cond would
+        have been rewritten to select_n with the oracle inlined
+        unconditionally."""
+        frames, offs = self._clips(rng)
+        fn = lambda f, o: warp_wide.warp_u8_offsets(f, o,
+                                                    interpret=INTERPRET)
+        jaxpr = jax.make_jaxpr(jax.vmap(fn))(frames, offs)
+        prims = set()
+
+        def walk(jx):
+            for eqn in jx.eqns:
+                prims.add(eqn.primitive.name)
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        walk(v.jaxpr)
+                    elif isinstance(v, (list, tuple)):
+                        for vi in v:
+                            if hasattr(vi, "jaxpr"):
+                                walk(vi.jaxpr)
+        walk(jaxpr.jaxpr)
+        assert "cond" in prims, sorted(prims)
+
+    def test_vmapped_grids_variant(self, rng):
+        """Same property for the dense-grid kernel's guard."""
+        h, w = 40, 128
+        frames = _frames(rng, 2, h, w).reshape(2, 1, h, w, 3)
+        grids = _affine_grids(2, h, w).reshape(2, 1, h, w, 2)
+        fn = lambda f, g: warp_wide.warp_u8_batch(f, g, max_dx_px=16,
+                                                  interpret=INTERPRET)
+        got = np.asarray(jax.vmap(fn)(frames, grids))
+        want = np.stack([np.asarray(fn(frames[i], grids[i]))
+                         for i in range(2)])
+        np.testing.assert_array_equal(got, want)
