@@ -74,7 +74,9 @@ from dvsg_tpu.ops import warp_ref
 TILE_H = 32         # row-tile height; candidate spread grows with area
 TILE_W = 128        # lane width (hard TPU constraint for gathers)
 N_STRIPES = 3       # fixed; see ops/warp_pallas.py (Mosaic >3-stripe cliff)
-UNROLL = 4          # candidate macro-unroll (ILP over gather latency)
+UNROLL = 3          # candidate macro-unroll (ILP over gather latency);
+                    # round-3 on-chip sweep at 720p b=8 (kexp_offsets):
+                    # 2→753, 3→672, 4→695, 5→736, 6→780 us/frame
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -113,7 +115,8 @@ def _lane_geometry(cb, tile_h: int, channels: int):
 
 
 def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
-                    channels: int, unroll: int, packed: bool = False):
+                    channels: int, unroll: int, packed: bool = False,
+                    adaptive_tail: bool = False):
     """Bilinear accumulation for one (tile_h, 128) sub-tile.
 
     ``y``/``xpx`` are source coordinates in padded-plane space (y includes
@@ -180,7 +183,7 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
             hv = t if hv is None else hv + t
         return wv * hv
 
-    n_macro = (dmax + 2 - dmin + unroll - 1) // unroll
+    n_cand = dmax + 2 - dmin     # candidates dmin .. dmax+1 inclusive
 
     def macro(m, acc):
         d0 = dmin + m * unroll
@@ -190,8 +193,25 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
                   for i in range(0, len(cs), 2)]
         return acc + cs[0]
 
-    return jax.lax.fori_loop(
-        0, n_macro, macro, jnp.zeros((tile_h, TILE_W), jnp.float32))
+    zero = jnp.zeros((tile_h, TILE_W), jnp.float32)
+    if not adaptive_tail:
+        n_macro = (n_cand + unroll - 1) // unroll
+        return jax.lax.fori_loop(0, n_macro, macro, zero)
+
+    # Spread-adaptive schedule: full-ILP macro groups for the part of the
+    # candidate range that fills them, then an EXACT-count tail loop of
+    # single contributions — the constant-unroll schedule rounds the
+    # per-tile candidate count up to a multiple of ``unroll``, wasting up
+    # to unroll-1 gather rounds on tiles whose spread isn't a multiple
+    # (e.g. 5 candidates cost 8 contributions; here they cost 5, three of
+    # them still pairwise-pipelined).
+    n_main = n_cand // unroll
+
+    def tail(i, acc):
+        return acc + contribution(dmin + n_main * unroll + i)
+
+    acc = jax.lax.fori_loop(0, n_main, macro, zero)
+    return jax.lax.fori_loop(0, n_cand - n_main * unroll, tail, acc)
 
 
 def _quantize_u8(acc):

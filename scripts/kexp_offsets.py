@@ -88,7 +88,8 @@ def make_kernel(tile_h, channels, pad_h, n_sub, unroll, h, w, gw, scale,
                 y = jnp.floor(y)      # single candidate row per lane
             acc = warp_wide._sub_accumulate(
                 stripes, y, xpx, phase, lane_base, r0 + pad_h,
-                tile_h, channels, unroll, packed=packed)
+                tile_h, channels, unroll, packed=packed,
+                adaptive_tail=(mode == "tail"))
             out_ref[0, rows, :] = warp_wide._quantize_u8(acc)
 
     return kernel
