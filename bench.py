@@ -237,10 +237,13 @@ def main():
     sweep = {}
     latency_ms = None
     if on_tpu:
+        # iters sized so the one-RTT fetch correction stays a small share
+        # of each timed window (2160p at T=2 swung ~30% run-to-run at 15
+        # iters: ~0.27 s window vs ~56 ms RTT).
         for name, (sh, sw, t, iters) in {
                 "480p": (480, 854, 16, 60),
-                "1080p": (1080, 1920, 8, 30),
-                "2160p": (2160, 3840, 2, 15)}.items():
+                "1080p": (1080, 1920, 8, 60),
+                "2160p": (2160, 3840, 2, 60)}.items():
             cfg_s = StabilizeConfig(model=mcfg, chunk_frames=t,
                                     warp_impl="auto")
             det = {}
@@ -272,9 +275,15 @@ def main():
         log(f"overlapped run: {overlap['overlapped_fps']:.1f} fps, device "
             f"idle {overlap.get('overlap_device_idle_pct')}% "
             "(gate < 20, includes tunnel dispatch latency)")
+
+        train_bench = _bench_train_step(mcfg)
+        log(f"train step ({train_bench['batch_size']}-clip synthetic "
+            f"batch): {train_bench['steps_per_sec']:.2f} steps/s, "
+            f"{train_bench['windows_per_sec']:.0f} windows/s")
     else:
         overlap = {}
         fps_8clip = None
+        train_bench = None
 
     cpu_fps = _bench_reference_style_cpu(
         ModelConfig(dtype="float32"), h, w)
@@ -294,6 +303,7 @@ def main():
         "warp_us_per_frame_720p": warp_us,
         "resolution_sweep": sweep,
         "fps_720p_8clip_batch": fps_8clip,
+        "train": train_bench,
         "overlap": overlap,
         "latency_ms_720p_T1": latency_ms,
         "reference_style_cpu_fps": cpu_fps,
@@ -367,6 +377,36 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=4, n_iters=40):
     if t_fetch < 0.25 * dt:
         dt -= t_fetch
     return (n_iters * n_clips * t) / dt
+
+
+def _bench_train_step(mcfg, batch_size=8, n_iters=20):
+    """Training-path throughput: jitted full train step (synthetic batch
+    generated ON DEVICE inside the step, forward + backward + AdamW) at
+    the benched model config. States chain output→input across
+    iterations so the timed window is device-resident; the loss fetch at
+    the end forces completion (one RTT, small share of the window)."""
+    import jax
+    import jax.numpy as jnp
+    from dvsg_tpu.config import TrainConfig
+    from dvsg_tpu.train import loop as train_loop
+
+    tcfg = TrainConfig(model=mcfg, batch_size=batch_size)
+    state = train_loop.init_state(tcfg, jax.random.key(0))
+    step = jax.jit(lambda s, k: train_loop.train_step(s, k, tcfg))
+    rng = jax.random.key(1)
+    for i in range(3):
+        state, aux = step(state, jax.random.fold_in(rng, i))
+    float(jax.device_get(aux["total"]))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, aux = step(state, jax.random.fold_in(rng, 100 + i))
+    float(jax.device_get(aux["total"]))
+    dt = time.perf_counter() - t0
+    sps = n_iters / dt
+    return {"batch_size": batch_size,
+            "model_size": list(mcfg.model_size),
+            "steps_per_sec": sps,
+            "windows_per_sec": sps * batch_size}
 
 
 def _bench_overlap(cfg, params, h, w, n_chunks=8):
