@@ -350,3 +350,57 @@ class TestVmappedGuard:
         want = np.stack([np.asarray(fn(frames[i], grids[i]))
                          for i in range(2)])
         np.testing.assert_array_equal(got, want)
+
+
+class TestRandomizedConfigs:
+    """Seeded fuzz sweep over the kernel's static-shape space.
+
+    The fixtures above pin specific geometries; production sees arbitrary
+    ones (any resolution, any coarse grid, any crop). Each case derives
+    its whole config from one seed — resolution (odd widths included),
+    control-grid size, border crop, offset amplitude — and checks the
+    PUBLIC contract: warp_u8_offsets equals the dense-path oracle within
+    1 LSB whether the input satisfies the stripe-coverage contract (fast
+    path) or not (guard reroutes to the oracle). Large amplitudes are
+    deliberately in range so both branches get fuzzed.
+    """
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_offsets_parity_random_config(self, seed):
+        r = np.random.default_rng(1000 + seed)
+        h = int(r.integers(33, 200))
+        w = int(r.integers(65, 400))
+        gh = int(r.integers(3, 20))
+        gw = int(r.integers(3, 20))
+        crop = float(r.choice([0.0, 0.02, 0.05]))
+        amp = float(r.uniform(0.05, 0.35))
+        b = int(r.integers(1, 3))
+        frames = _frames(r, b, h, w)
+        off = jnp.asarray((r.random((b, gh, gw, 2),
+                                    dtype=np.float32) - 0.5) * amp)
+        ours = np.asarray(warp_wide.warp_u8_offsets(
+            frames, off, border_crop=crop,
+            interpret=INTERPRET)).astype(int)
+        want = _offsets_oracle(frames, off, crop)
+        assert np.abs(ours - want).max() <= 1, (
+            f"seed={seed} h={h} w={w} gh={gh} gw={gw} "
+            f"crop={crop} amp={amp:.3f}")
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_grids_parity_random_config(self, seed):
+        r = np.random.default_rng(2000 + seed)
+        h = int(r.integers(33, 180))
+        w = int(r.integers(65, 300))
+        ho = int(r.integers(33, 180))
+        wo = int(r.integers(65, 300))
+        frames = _frames(r, 1, h, w)
+        ang = float(r.uniform(-0.04, 0.04))
+        tx, ty = (float(x) for x in r.uniform(-0.08, 0.08, 2))
+        theta = jnp.asarray([[np.cos(ang), -np.sin(ang), tx],
+                             [np.sin(ang), np.cos(ang), ty]], jnp.float32)
+        grids = grid_ops.affine_grid(theta, ho, wo)[None]
+        ours = np.asarray(warp_wide.warp_u8_batch(
+            frames, grids, max_dx_px=48, interpret=INTERPRET)).astype(int)
+        want = np.asarray(warp_wide._oracle_u8(frames, grids)).astype(int)
+        assert np.abs(ours - want).max() <= 1, (
+            f"seed={seed} {h}x{w}->{ho}x{wo} ang={ang:.4f}")
