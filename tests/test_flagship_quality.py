@@ -24,10 +24,10 @@ _CKPT_DIR = os.path.join(os.path.dirname(__file__), "..", "checkpoints")
 def test_flagship_beats_identity_baseline(name, seed):
     """Measured (CPU, lax warp, 256x320, 16 frames): flagship gains
     +17.8/+20.7/+21.7 dB at 50.9-51.7 dB vs target; flagship_fast (the
-    128^2 single-block throughput default) +17.4/+19.2/+20.6 dB at
-    50.2-50.6 dB. Gates sit ~3 dB under the worst measured value so a
-    semantic regression cannot hide inside a loose margin (VERDICT.md
-    round-1 item 8)."""
+    128^2 single-block throughput default, 20k-step round-3 retrain)
+    +21.1/+21.5/+18.7 dB at 51.5-52.1 dB. Gates sit ~3 dB under the
+    worst measured value so a semantic regression cannot hide inside a
+    loose margin (VERDICT.md round-1 item 8)."""
     path = os.path.join(_CKPT_DIR, name)
     if not os.path.exists(path):
         pytest.skip(f"no committed {name}")
