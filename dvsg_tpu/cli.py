@@ -19,23 +19,40 @@ import time
 import numpy as np
 
 
+# ModelConfig-matching defaults, applied in _model_cfg; the parser uses
+# None sentinels so _resolve_preset can tell "user asked for a custom
+# architecture" (keep the untrained model) from "no model args at all"
+# (default to the committed fast preset).
+_MODEL_ARG_DEFAULTS = {"window": 5, "model_size": (256, 256),
+                       "grid_size": (16, 16), "dtype": "float32"}
+
+
 def _add_model_args(p: argparse.ArgumentParser):
-    p.add_argument("--window", type=int, default=5,
-                   help="temporal window length N")
-    p.add_argument("--model-size", type=int, nargs=2, default=(256, 256),
-                   metavar=("H", "W"), help="CNN input resolution")
-    p.add_argument("--grid-size", type=int, nargs=2, default=(16, 16),
-                   metavar=("GH", "GW"), help="coarse control grid")
+    p.add_argument("--window", type=int, default=None,
+                   help="temporal window length N (default 5)")
+    p.add_argument("--model-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="CNN input resolution (default 256 256)")
+    p.add_argument("--grid-size", type=int, nargs=2, default=None,
+                   metavar=("GH", "GW"),
+                   help="coarse control grid (default 16 16)")
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
-                   default="float32", help="CNN compute dtype")
+                   default=None, help="CNN compute dtype (default float32)")
+
+
+def _custom_arch(args) -> bool:
+    return any(getattr(args, k, None) is not None
+               for k in _MODEL_ARG_DEFAULTS)
 
 
 def _model_cfg(args):
     from dvsg_tpu.config import ModelConfig
-    return ModelConfig(window=args.window,
-                       model_size=tuple(args.model_size),
-                       grid_size=tuple(args.grid_size),
-                       dtype=args.dtype)
+    d = {k: v if (v := getattr(args, k, None)) is not None else dflt
+         for k, dflt in _MODEL_ARG_DEFAULTS.items()}
+    return ModelConfig(window=d["window"],
+                       model_size=tuple(d["model_size"]),
+                       grid_size=tuple(d["grid_size"]),
+                       dtype=d["dtype"])
 
 
 def _load_any_checkpoint(path):
@@ -55,14 +72,30 @@ _PRESETS = {"fast": "flagship_fast.npz", "quality": "flagship.npz"}
 
 def _resolve_preset(args):
     """--preset fast|quality → the committed checkpoint, unless an
-    explicit --checkpoint was given (which wins)."""
-    if getattr(args, "checkpoint", None) or not getattr(args, "preset", None):
+    explicit --checkpoint was given (which wins).
+
+    With NO checkpoint, NO preset, and NO custom model-architecture
+    flags, default to the committed fast preset when it exists: a bare
+    ``stabilize --input x --output y`` should use the shipped trained
+    model, not a random-init identity. Any explicit architecture flag
+    keeps the untrained model (preset weights can't fit a custom arch).
+    """
+    if getattr(args, "checkpoint", None):
         return
-    name = _PRESETS[args.preset]
+    preset = getattr(args, "preset", None)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "checkpoints", name)
+    if not preset:
+        if _custom_arch(args):
+            return
+        path = os.path.join(root, "checkpoints", _PRESETS["fast"])
+        if os.path.exists(path):
+            print("no --checkpoint/--preset given; defaulting to the "
+                  "committed 'fast' pretrained model", file=sys.stderr)
+            args.checkpoint = path
+        return
+    path = os.path.join(root, "checkpoints", _PRESETS[preset])
     if not os.path.exists(path):
-        print(f"ERROR: preset '{args.preset}' needs {path} (not found); "
+        print(f"ERROR: preset '{preset}' needs {path} (not found); "
               "pass --checkpoint instead", file=sys.stderr)
         raise SystemExit(2)
     args.checkpoint = path

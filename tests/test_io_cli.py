@@ -171,3 +171,21 @@ def test_preset_resolves_committed_checkpoint(tmp_path):
     b = types.SimpleNamespace(checkpoint="/explicit/path", preset="fast")
     cli._resolve_preset(b)
     assert b.checkpoint == "/explicit/path"
+
+
+def test_no_args_defaults_to_fast_preset():
+    """A bare invocation (no checkpoint, no preset, no custom arch)
+    defaults to the committed fast pretrained model; any explicit
+    architecture flag keeps the untrained model instead (preset weights
+    cannot fit a custom arch)."""
+    import types
+    from dvsg_tpu import cli
+
+    bare = types.SimpleNamespace(checkpoint=None, preset=None)
+    cli._resolve_preset(bare)
+    assert bare.checkpoint and bare.checkpoint.endswith("flagship_fast.npz")
+
+    custom = types.SimpleNamespace(checkpoint=None, preset=None,
+                                   model_size=(32, 32))
+    cli._resolve_preset(custom)
+    assert custom.checkpoint is None
