@@ -38,6 +38,11 @@ def main():
     p.add_argument("--eval-frames", type=int, default=48)
     p.add_argument("--eval-size", type=int, nargs=2, default=(480, 640))
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--save-every", type=int, default=1000,
+                   help="mid-run checkpoint interval in steps (0 = only "
+                        "at the end). Through the axon tunnel a 256^2 "
+                        "train-state save costs ~13 min of host transfer, "
+                        "so long tunnel runs want this large.")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -91,7 +96,7 @@ def main():
             print(f"step {step:5d} pixel={aux['pixel']:.5f} "
                   f"offset={aux['offset']:.6f} ({rate:.1f} steps/s)",
                   flush=True)
-        if step and step % 1000 == 0:
+        if args.save_every and step and step % args.save_every == 0:
             host_state = jax.device_get(state)
             ckpt.save_checkpoint(args.out, host_state.params, mcfg,
                                  step=step)
