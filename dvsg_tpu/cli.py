@@ -41,8 +41,18 @@ def _add_model_args(p: argparse.ArgumentParser):
 
 
 def _custom_arch(args) -> bool:
+    # --dtype is a compute knob, not architecture: it never invalidates
+    # preset weights (it is re-applied onto any loaded config instead).
     return any(getattr(args, k, None) is not None
-               for k in _MODEL_ARG_DEFAULTS)
+               for k in _MODEL_ARG_DEFAULTS if k != "dtype")
+
+
+def _apply_dtype(mcfg, args):
+    """Fold an explicit --dtype onto a loaded checkpoint's config."""
+    if getattr(args, "dtype", None) and args.dtype != mcfg.dtype:
+        import dataclasses
+        mcfg = dataclasses.replace(mcfg, dtype=args.dtype)
+    return mcfg
 
 
 def _model_cfg(args):
@@ -162,6 +172,7 @@ def stabilize_main(argv=None) -> int:
 
     if args.checkpoint:
         params, mcfg = _load_any_checkpoint(args.checkpoint)
+        mcfg = _apply_dtype(mcfg, args)
     else:
         mcfg = _model_cfg(args)
         params = motion_cnn.init_params(mcfg, jax.random.key(0))
@@ -285,6 +296,7 @@ def stabilize_batch_main(argv=None) -> int:
 
     if args.checkpoint:
         params, mcfg = _load_any_checkpoint(args.checkpoint)
+        mcfg = _apply_dtype(mcfg, args)
     else:
         mcfg = _model_cfg(args)
         params = motion_cnn.init_params(mcfg, jax.random.key(0))
@@ -366,6 +378,7 @@ def eval_main(argv=None) -> int:
 
     if args.checkpoint:
         params, mcfg = _load_any_checkpoint(args.checkpoint)
+        mcfg = _apply_dtype(mcfg, args)
     else:
         mcfg = _model_cfg(args)
         params = motion_cnn.init_params(mcfg, jax.random.key(0))

@@ -76,6 +76,8 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array | None = None,
     import jax
     import jax.numpy as jnp
 
+    if grids is None and offsets is None:
+        raise ValueError("warp_quantize_batch needs `grids` or `offsets`")
     impl = resolve_impl(warp_impl)
     if impl.startswith("pallas"):
         from dvsg_tpu.ops import warp_wide

@@ -72,6 +72,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dvsg_tpu.ops import warp_ref
 
 TILE_H = 32         # row-tile height; candidate spread grows with area
+_EPS_PX = 1e-3      # coverage-bound widening, see _offsets_bounds
 TILE_W = 128        # lane width (hard TPU constraint for gathers)
 N_STRIPES = 3       # fixed; see ops/warp_pallas.py (Mosaic >3-stripe cliff)
 UNROLL = 3          # candidate macro-unroll (ILP over gather latency);
@@ -544,8 +545,16 @@ def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb):
             c_hi = min(gx_idx(p1) + 1, gw - 1)
             omin = jnp.min(rmin[:, c_lo:c_hi + 1], axis=1)   # (b,)
             omax = jnp.max(rmax[:, c_lo:c_hi + 1], axis=1)
-            xmin = jnp.clip(a_x * p0 + b_x + omin, 0.0, w - 1)
-            xmax = jnp.clip(a_x * p1 + b_x + omax, 0.0, w - 1)
+            # EPS_PX widens the bound before floor: the kernel evaluates
+            # the same coordinate through a different f32 op order (matmul
+            # upsample + in-register lerp), so its value can sit a few
+            # ULPs past this closed-form bound; without the margin a bound
+            # landing just below an integer could under-count the stripe
+            # window by one lane while ok stays True. 1e-3 px is orders of
+            # magnitude above f32 rounding at any real resolution and only
+            # ever WIDENS the window check (conservative direction).
+            xmin = jnp.clip(a_x * p0 + b_x + omin - _EPS_PX, 0.0, w - 1)
+            xmax = jnp.clip(a_x * p1 + b_x + omax + _EPS_PX, 0.0, w - 1)
             lmins.append(c * jnp.floor(xmin))                # + phase >= 0
             lmaxs.append(c * jnp.floor(xmax) + (c - 1) + c)  # +C: x1 tap
         lmin_cols.append(jnp.stack(lmins, axis=1))           # (b, n_cb)

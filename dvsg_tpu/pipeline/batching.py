@@ -165,14 +165,23 @@ class BatchStabilizer:
                            for i in range(bp)])
         fn = self._fn(bp)
         outs = []
+        pending = None      # (device out, n_valid): fetch AFTER the next
         for start in range(0, max_len, t_chunk):
             chunk = batch[:, start:start + t_chunk]
             n_valid = chunk.shape[1]
             if n_valid < t_chunk:
                 pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
                 chunk = np.concatenate([chunk, pad], axis=1)
+            # Dispatch chunk k+1 (it only needs the device-side halos)
+            # before fetching chunk k, so the D2H transfer overlaps the
+            # next chunk's compute instead of stalling the device — the
+            # same one-chunk pipeline as multiclip.py's flush(pending).
             out, halos, _ = fn(self.params, put_frames(chunk), halos)
-            outs.append(fetch_frames(out[:, :n_valid]))
+            if pending is not None:
+                outs.append(fetch_frames(pending[0][:, :pending[1]]))
+            pending = (out, n_valid)
+        if pending is not None:
+            outs.append(fetch_frames(pending[0][:, :pending[1]]))
         full = np.concatenate(outs, axis=1)
         self.stats["batches"] += 1
         for i, r in enumerate(items):

@@ -70,13 +70,20 @@ def _decode_worker(reader, chunk, out_q, errs, idx):
         out_q.put(np.zeros((0, reader.height, reader.width, 3), np.uint8))
 
 
-def _encode_worker(writer, in_q, errs, idx):
+def _encode_worker(writer, in_q, errs, written, idx):
+    # ``written[idx]`` counts frames ACTUALLY written, incremented only
+    # after a batch lands — not at enqueue time. The main loop may be
+    # several chunks ahead of the writer, so an enqueue-side count would
+    # overstate the on-disk resume point when the encoder fails. A batch
+    # that raises mid-write is not counted at all: undercounting makes a
+    # resume re-write idempotent frames, overcounting would skip frames.
     try:
         while True:
             item = in_q.get()
             if item is _SENTINEL:
                 break
             writer.write_batch(item)
+            written[idx] += item.shape[0]
     except Exception as e:
         errs[idx] = e
         while in_q.get() is not _SENTINEL:
@@ -123,6 +130,7 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     enc_errors: List[Optional[Exception]] = [None] * n
     dec_qs = [queue.Queue(maxsize=cfg.queue_depth) for _ in range(n)]
     enc_qs = [queue.Queue(maxsize=cfg.queue_depth) for _ in range(n)]
+    written = [0] * n           # frames on disk, owned by encode workers
     threads = []
     dec_threads = []
     for i in range(n):
@@ -134,7 +142,8 @@ def stabilize_multi(cfg: StabilizeConfig, params,
         threads.append(t)
         dec_threads.append(t)
         t = threading.Thread(target=_encode_worker,
-                             args=(writers[i], enc_qs[i], enc_errors, i),
+                             args=(writers[i], enc_qs[i], enc_errors,
+                                   written, i),
                              daemon=True)
         t.start()
         threads.append(t)
@@ -155,7 +164,6 @@ def stabilize_multi(cfg: StabilizeConfig, params,
 
     halos = None
     done = [False] * n
-    written = [0] * n
     last = [None] * n           # last frame of each clip for padding
     pending = None              # (device out, valid list) to fetch later
     blank = np.zeros((t_chunk, h, w, 3), np.uint8)
@@ -166,11 +174,11 @@ def stabilize_multi(cfg: StabilizeConfig, params,
             host = fetch_frames(out_dev)
         for i in range(n):
             # A clip whose encoder already failed stops consuming output
-            # (its queue is being drained); written[i] stays at the last
-            # successfully flushed frame — the resume point.
+            # (its queue is being drained); its encode worker owns
+            # written[i], frozen at the last batch that actually landed
+            # on disk — the resume point.
             if valid[i] > 0 and enc_errors[i] is None:
                 enc_qs[i].put(host[i, :valid[i]])
-                written[i] += valid[i]
 
     while not all(done):
         chunks = []

@@ -96,11 +96,25 @@ def _build_handler(state: _State):
     return Handler
 
 
-def _stabilize_bytes(state: _State, data: bytes, fmt: str):
+def _stabilize_bytes(state: _State, data: bytes, fmt: str,
+                     segment_bytes: int = 256 * 1024 * 1024):
+    """Decode → stabilize → encode with BOUNDED memory.
+
+    Long uploads are processed in raw-frame segments of ~``segment_bytes``
+    (a 10-minute 1080p upload decodes to ~80 GB of uint8 — it must never
+    be materialized whole). Segments stay EXACT: each one is prefixed
+    with the previous segment's last window-1 raw frames and those
+    prefix outputs are dropped, so every kept frame's temporal window is
+    its true history — bitwise identical to stabilizing the whole clip
+    in one call (the carried halo is pure input history,
+    pipeline/stabilize.py:initial_halo). Each segment still rides the
+    shared batched device program with co-travelling requests.
+    """
     import numpy as np
 
     from dvsg_tpu.utils import video_io
 
+    window = state.engine.cfg.model.window
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, f"in.{fmt}")
         dst = os.path.join(d, f"out.{fmt}")
@@ -109,24 +123,31 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str):
         with video_io.VideoReader(src) as reader:
             fps = reader.fps
             w, h = reader.width, reader.height
-            chunks = []
-            while True:
-                c = reader.read_batch(256)
-                if c.shape[0] == 0:
-                    break
-                chunks.append(c)
-                if c.shape[0] < 256:
-                    break
-        if not chunks:
+            frame_bytes = max(1, h * w * 3)
+            seg = max(state.engine.cfg.chunk_frames,
+                      int(segment_bytes // frame_bytes))
+            n_out = 0
+            prefix = None            # last window-1 RAW frames
+            with video_io.VideoWriter(dst, w, h, fps) as writer:
+                while True:
+                    c = reader.read_batch(seg)
+                    if c.shape[0] == 0:
+                        break
+                    inp = c if prefix is None else np.concatenate(
+                        [prefix, c], axis=0)
+                    # Concurrent requests ride ONE batched device
+                    # program; decode/encode stay on this thread.
+                    out = state.engine.stabilize_clip(inp)
+                    drop = 0 if prefix is None else prefix.shape[0]
+                    writer.write_batch(out[drop:])
+                    n_out += out.shape[0] - drop
+                    if c.shape[0] < seg:
+                        break
+                    prefix = inp[-(window - 1):] if window > 1 else None
+        if n_out == 0:
             raise ValueError("no decodable frames in request body")
-        frames = np.concatenate(chunks, axis=0)
-        # Concurrent requests ride ONE batched device program; decode and
-        # encode stay on this request thread.
-        out = state.engine.stabilize_clip(frames)
-        with video_io.VideoWriter(dst, w, h, fps) as writer:
-            writer.write_batch(out)
         with open(dst, "rb") as f:
-            return f.read(), out.shape[0]
+            return f.read(), n_out
 
 
 def make_server(host: str, port: int, engine,

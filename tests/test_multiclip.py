@@ -174,6 +174,12 @@ def test_failed_encoder_is_isolated(tmp_path, params, rng):
         w_.close()
     assert result.failed_clips == [0]
     assert result.frames_written[1] == 8
+    # The failed clip's count must equal frames ACTUALLY on disk (the
+    # resume point), not frames enqueued to the dead encoder: the main
+    # loop can be chunks ahead of the writer when it dies.
+    with video_io.VideoReader(outs[0]) as r:
+        on_disk = r.read_batch(64).shape[0]
+    assert result.frames_written[0] == on_disk == 4
     single = Stabilizer(CFG, params)
     with video_io.VideoReader(outs[1]) as r:
         got = r.read_batch(64)

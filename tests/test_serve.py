@@ -91,34 +91,84 @@ def test_bad_requests(url):
     assert "unsupported format" in e.value.read().decode()
 
 
-def test_concurrent_requests_share_one_device_batch(server, url, tmp_path,
-                                                    rng):
+def test_concurrent_requests_share_one_device_batch(tmp_path, rng):
     """Concurrent stabilize requests must ride ONE batched device program
     (VERDICT.md round-2 item 7): the engine's stats record a group of
-    more than one request, and every response is correct."""
-    import concurrent.futures
+    more than one request, and every response is correct.
 
-    payloads = []
-    for i in range(3):
-        frames = (rng.random((6, 32, 48, 3)) * 255).astype(np.uint8)
-        p = str(tmp_path / f"cc{i}.mp4")
+    Uses a DEDICATED server with max_batch == the number of requests and
+    a generous window: the worker closes the group the moment all three
+    arrive (no added latency) and only a >5 s thread-scheduling skew
+    could split it — deterministic, unlike grouping by a few-ms window.
+    """
+    import concurrent.futures
+    import threading
+
+    params = motion_cnn.init_params(MCFG, jax.random.key(3))
+    engine = BatchStabilizer(CFG, params, max_batch=3, window_s=5.0)
+    srv = serve.make_server("127.0.0.1", 0, engine, "test-model")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url2 = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        payloads = []
+        for i in range(3):
+            frames = (rng.random((6, 32, 48, 3)) * 255).astype(np.uint8)
+            p = str(tmp_path / f"cc{i}.mp4")
+            with video_io.VideoWriter(p, 48, 32, fps=24.0) as w:
+                w.write_batch(frames)
+            with open(p, "rb") as f:
+                payloads.append(f.read())
+
+        def post(data):
+            req = urllib.request.Request(url2 + "/stabilize", data=data,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, r.headers["X-Frames"]
+
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            results = list(ex.map(post, payloads))
+        assert results == [(200, "6")] * 3
+        assert engine.stats["max_group"] >= 2, engine.stats
+        assert engine.stats["batches"] < 3, engine.stats
+    finally:
+        srv.shutdown()
+        engine.close()
+
+
+def test_long_upload_streams_in_segments(rng):
+    """_stabilize_bytes must process long uploads in bounded-memory
+    segments EXACTLY: forcing a tiny segment budget (~2 chunks of raw
+    frames) must produce byte-identical output to one whole-clip pass."""
+    params = motion_cnn.init_params(MCFG, jax.random.key(4))
+    engine = BatchStabilizer(CFG, params, max_batch=2, window_s=0.0)
+    state = serve._State()
+    state.engine = engine
+    frames = (rng.random((26, 32, 48, 3)) * 255).astype(np.uint8)
+    import io, os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "long.mp4")
         with video_io.VideoWriter(p, 48, 32, fps=24.0) as w:
             w.write_batch(frames)
-        with open(p, "rb") as f:
-            payloads.append(f.read())
-
-    def post(data):
-        req = urllib.request.Request(url + "/stabilize", data=data,
-                                     method="POST")
-        with urllib.request.urlopen(req, timeout=120) as r:
-            return r.status, r.headers["X-Frames"]
-
-    before = dict(server.engine.stats)
-    with concurrent.futures.ThreadPoolExecutor(3) as ex:
-        results = list(ex.map(post, payloads))
-    assert results == [(200, "6")] * 3
-    assert server.engine.stats["max_group"] >= 2, server.engine.stats
-    assert server.engine.stats["batches"] - before.get("batches", 0) < 3
+        data = open(p, "rb").read()
+    try:
+        seg_bytes = 8 * 32 * 48 * 3   # 8 raw frames per segment
+        small, n_small = serve._stabilize_bytes(state, data, "mp4",
+                                                segment_bytes=seg_bytes)
+        whole, n_whole = serve._stabilize_bytes(state, data, "mp4")
+    finally:
+        engine.close()
+    assert n_small == n_whole == 26
+    # Compare decoded frames (mp4 encode is deterministic for identical
+    # input frames, so identical pixels => identical bytes; decode-level
+    # equality is the contract either way).
+    def decode(b):
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            f.write(b)
+            f.flush()
+            with video_io.VideoReader(f.name) as r:
+                return r.read_batch(64)
+    np.testing.assert_array_equal(decode(small), decode(whole))
 
 
 def test_batch_engine_matches_single(rng):
