@@ -280,10 +280,16 @@ def main():
         log(f"train step ({train_bench['batch_size']}-clip synthetic "
             f"batch): {train_bench['steps_per_sec']:.2f} steps/s, "
             f"{train_bench['windows_per_sec']:.0f} windows/s")
+
+        hbm = _hbm_stats()
+        if hbm:
+            log(f"HBM after the sweep: peak {hbm.get('peak_gib')} GiB / "
+                f"limit {hbm.get('limit_gib')} GiB")
     else:
         overlap = {}
         fps_8clip = None
         train_bench = None
+        hbm = None
 
     cpu_fps = _bench_reference_style_cpu(
         ModelConfig(dtype="float32"), h, w)
@@ -304,6 +310,7 @@ def main():
         "resolution_sweep": sweep,
         "fps_720p_8clip_batch": fps_8clip,
         "train": train_bench,
+        "hbm": hbm if on_tpu else None,
         "overlap": overlap,
         "latency_ms_720p_T1": latency_ms,
         "reference_style_cpu_fps": cpu_fps,
@@ -377,6 +384,26 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=4, n_iters=40):
     if t_fetch < 0.25 * dt:
         dt -= t_fetch
     return (n_iters * n_clips * t) / dt
+
+
+def _hbm_stats():
+    """Device-memory footprint, if the runtime exposes it ('fits HBM with
+    headroom' claims get a measured number). Peak covers everything run
+    so far in this process — i.e. the whole resolution sweep."""
+    import jax
+    try:
+        s = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        return None
+    gib = 1024.0 ** 3
+    out = {}
+    if "peak_bytes_in_use" in s:
+        out["peak_gib"] = round(s["peak_bytes_in_use"] / gib, 2)
+    if "bytes_limit" in s:
+        out["limit_gib"] = round(s["bytes_limit"] / gib, 2)
+    if "bytes_in_use" in s:
+        out["in_use_gib"] = round(s["bytes_in_use"] / gib, 2)
+    return out or None
 
 
 def _bench_train_step(mcfg, batch_size=8, n_iters=20):
