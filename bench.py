@@ -310,7 +310,7 @@ def main():
         "resolution_sweep": sweep,
         "fps_720p_8clip_batch": fps_8clip,
         "train": train_bench,
-        "hbm": hbm if on_tpu else None,
+        "hbm": hbm,
         "overlap": overlap,
         "latency_ms_720p_T1": latency_ms,
         "reference_style_cpu_fps": cpu_fps,

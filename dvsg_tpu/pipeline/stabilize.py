@@ -138,7 +138,16 @@ def fetch_frames(dev_frames: jax.Array) -> np.ndarray:
 
 
 def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:
-    """Replicate-pad history for the start of a stream (SURVEY.md §4)."""
+    """Replicate-pad history for the start of a stream (SURVEY.md §4).
+
+    INVARIANT (load-bearing): the carried halo is PURE INPUT HISTORY —
+    the downscaled last window-1 raw frames, nothing else. serve.py's
+    segmented long-upload path relies on it (prefixing a segment with
+    the previous window-1 raw frames reproduces the continuous stream
+    exactly; tests/test_serve.py::test_long_upload_streams_in_segments
+    pins it). Any future cross-chunk state beyond input history (e.g.
+    path-smoothing EMA) must extend the halo AND revisit that path.
+    """
     mcfg = cfg.model
     mh, mw = mcfg.model_size
     f = jnp.asarray(first_frame_u8, jnp.uint8)[None]

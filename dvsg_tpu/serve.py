@@ -120,19 +120,28 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
         dst = os.path.join(d, f"out.{fmt}")
         with open(src, "wb") as f:
             f.write(data)
-        with video_io.VideoReader(src) as reader:
+        try:
+            reader_cm = video_io.VideoReader(src)
+        except Exception:
+            # Sanitize: the reader's error carries the server's temp
+            # path; the client just needs to know the body didn't decode.
+            raise ValueError("no decodable frames in request body")
+        with reader_cm as reader:
             fps = reader.fps
             w, h = reader.width, reader.height
             frame_bytes = max(1, h * w * 3)
             seg = max(state.engine.cfg.chunk_frames,
                       int(segment_bytes // frame_bytes))
+            # First decode BEFORE the writer exists: undecodable or
+            # zero-dimension bodies must answer "no decodable frames",
+            # not a writer error carrying the server's temp path.
+            c = reader.read_batch(seg)
+            if c.shape[0] == 0:
+                raise ValueError("no decodable frames in request body")
             n_out = 0
             prefix = None            # last window-1 RAW frames
             with video_io.VideoWriter(dst, w, h, fps) as writer:
-                while True:
-                    c = reader.read_batch(seg)
-                    if c.shape[0] == 0:
-                        break
+                while c.shape[0] > 0:
                     inp = c if prefix is None else np.concatenate(
                         [prefix, c], axis=0)
                     # Concurrent requests ride ONE batched device
@@ -143,9 +152,13 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                     n_out += out.shape[0] - drop
                     if c.shape[0] < seg:
                         break
-                    prefix = inp[-(window - 1):] if window > 1 else None
-        if n_out == 0:
-            raise ValueError("no decodable frames in request body")
+                    # .copy(): a bare slice is a VIEW keeping the whole
+                    # previous segment alive — 3x instead of 2x segment
+                    # peak per request thread.
+                    prefix = (inp[-(window - 1):].copy()
+                              if window > 1 else None)
+                    del inp, out
+                    c = reader.read_batch(seg)
         with open(dst, "rb") as f:
             return f.read(), n_out
 

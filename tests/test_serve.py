@@ -145,7 +145,7 @@ def test_long_upload_streams_in_segments(rng):
     state = serve._State()
     state.engine = engine
     frames = (rng.random((26, 32, 48, 3)) * 255).astype(np.uint8)
-    import io, os, tempfile
+    import os, tempfile
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "long.mp4")
         with video_io.VideoWriter(p, 48, 32, fps=24.0) as w:
