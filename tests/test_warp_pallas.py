@@ -104,3 +104,28 @@ class TestTPUCompiled:
         mse = float((err.astype(np.float64) ** 2).mean())
         psnr = 10 * np.log10(1.0 / mse)
         assert psnr > 60.0, psnr
+
+
+def test_vmapped_guard_mixed_batch(rng):
+    """The f32 kernel's guard_cond under vmap: a batched program with one
+    covered and one contract-violating member must equal the per-member
+    results (violator repaired via the oracle) — same property the wide
+    kernel pins in test_warp_wide.py::TestVmappedGuard, here for the
+    planar guard site (warp_pallas.bilinear_warp_batch)."""
+    h, w = 32, 640
+    frames, smooth = _case(rng, 1, h, w, 0.05, coarse=(4, 4))
+    gx = np.asarray(grid_ops.identity_grid(h, w))
+    wild = gx.copy()
+    wild[..., 0] = np.sin(31.0 * gx[..., 0]) * 0.9   # dx varies too fast
+    grids = jnp.stack([smooth[0], jnp.asarray(wild)])
+    frames2 = jnp.concatenate([frames, frames], axis=0)
+
+    fn = lambda f, g: warp_pallas.bilinear_warp_batch(
+        f[None], g[None], max_dx_px=64, interpret=INTERPRET)[0]
+    got = np.asarray(jax.vmap(fn)(frames2, grids))
+    want = np.stack([np.asarray(fn(frames2[i], grids[i]))
+                     for i in range(2)])
+    np.testing.assert_array_equal(got, want)
+    oracle = np.asarray(warp_ref.bilinear_warp_batch(
+        frames.astype(jnp.float32), jnp.asarray(wild)[None]))[0]
+    np.testing.assert_allclose(got[1], oracle, atol=1e-6)
