@@ -25,8 +25,13 @@ bound, not bandwidth- or flops-bound. Three rules shaped the final form:
   * accumulate in REGISTERS (loop-carried values), never scratch-ref
     read-modify-write — the serial VMEM chain made the first gather cost
     ~7x its pipelined throughput cost;
-  * macro-unroll the vertical candidate loop by 4 with INDEPENDENT
-    contributions summed pairwise — overlaps gather latencies;
+  * macro-unroll the vertical candidate loop with INDEPENDENT
+    contributions summed pairwise — overlaps gather latencies (UNROLL /
+    UNROLL_QUAD, on-chip sweeps in the constants' comments);
+  * quad-pack the payload (production offsets path): one int32 lane
+    carries four exact 8-bit taps — both horizontal taps of two
+    consecutive source rows — so one gather serves a candidate PAIR
+    (scripts/kexp_quad.py: 580 vs 704 µs/frame at 720p);
   * no stripe predication — a marginal overlapped gather costs ~17 ns,
     while in-kernel lax.cond control flow serializes the pipeline.
 Several grid steps' row tiles are batched per step (n_sub) to amortize
@@ -78,6 +83,9 @@ N_STRIPES = 3       # fixed; see ops/warp_pallas.py (Mosaic >3-stripe cliff)
 UNROLL = 3          # candidate macro-unroll (ILP over gather latency);
                     # round-3 on-chip sweep at 720p b=8 (kexp_offsets):
                     # 2→753, 3→672, 4→695, 5→736, 6→780 us/frame
+UNROLL_QUAD = 2     # candidate-PAIR macro-unroll for the quad-packed
+                    # loop (scripts/kexp_quad.py, 720p b=8): 1→637,
+                    # 2→580, 3→628 us/frame (pair-packed full: 704)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -126,13 +134,18 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
     see the module docstring. Returns the f32 accumulator (payload stays
     0..255; the caller quantizes).
 
-    ``packed``: the stripes hold PAIR-PACKED planes (``_prep_planes``):
-    value[l]*1024 + value[l+C], both 8-bit integers so the pack is exact
-    in f32. ONE gather then yields both horizontal taps (unpack is two
-    cheap VPU ops), halving the candidate-loop gather count — the
-    dominant kernel cost (a single gather in this loop measured ~420
-    µs/frame at 720p). The x1 tap rides the x0 lane, so x1 stripe
-    coverage is no longer a constraint."""
+    ``packed``: the stripes hold QUAD-PACKED int32 planes
+    (``_prep_planes``): v[y,l]<<24 | v[y,l+C]<<16 | v[y+1,l]<<8 |
+    v[y+1,l+C] — four exact 8-bit payloads per 32-bit lane. ONE gather
+    then yields both horizontal taps of TWO consecutive source rows
+    (unpack = 3 logical shifts + 3 ands + 4 converts, cheap VPU ops;
+    Mosaic lowers i32 lane gathers fine — scripts/kexp_quadprobe.py),
+    so the candidate loop steps by 2 and ``unroll`` counts candidate
+    PAIRS. Measured 580 vs 704 µs/frame at 720p against the previous
+    f32 pair-pack (both horizontal taps of one row per lane), which the
+    24-bit f32 mantissa capped at two payloads (scripts/kexp_quad.py).
+    The x1 tap rides the x0 lane, so x1 stripe coverage is no longer a
+    constraint."""
     y0 = jnp.floor(y)
     x0 = jnp.floor(xpx)
     fy = y - y0
@@ -173,22 +186,47 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
         hv = None
         for s in range(N_STRIPES):
             seg = stripes[s][0, pl.ds(r0p + ds_, tile_h), :]
-            if packed:
-                g = jnp.take_along_axis(seg, loc0m[s], axis=1)
-                g0 = jnp.floor(g * (1.0 / 1024.0))   # exact: both are
-                g1 = g - 1024.0 * g0                 # 8-bit integers
-            else:
-                g0 = jnp.take_along_axis(seg, loc0m[s], axis=1)
-                g1 = jnp.take_along_axis(seg, loc1m[s], axis=1)
+            g0 = jnp.take_along_axis(seg, loc0m[s], axis=1)
+            g1 = jnp.take_along_axis(seg, loc1m[s], axis=1)
             t = w0m[s] * g0 + w1m[s] * g1
             hv = t if hv is None else hv + t
         return wv * hv
 
+    def contribution_quad(dp):
+        # One candidate PAIR (source rows dp, dp+1) from the quad-packed
+        # stripes: one gather per stripe yields all four taps. Weights
+        # use the TRUE row indices (zero when out of range); only the
+        # slice start is clamped in-bounds.
+        wv_a = (jnp.where(resid == dp, 1.0 - fy, 0.0)
+                + jnp.where(resid + 1 == dp, fy, 0.0))
+        wv_b = (jnp.where(resid == dp + 1, 1.0 - fy, 0.0)
+                + jnp.where(resid + 1 == dp + 1, fy, 0.0))
+        ds_ = jnp.minimum(dp, dmax + 1)
+        hv_a = None
+        hv_b = None
+        for s in range(N_STRIPES):
+            seg = stripes[s][0, pl.ds(r0p + ds_, tile_h), :]
+            g = jnp.take_along_axis(seg, loc0m[s], axis=1)
+            b3 = jax.lax.shift_right_logical(g, 24).astype(jnp.float32)
+            b2 = jnp.bitwise_and(jax.lax.shift_right_logical(g, 16),
+                                 0xFF).astype(jnp.float32)
+            b1 = jnp.bitwise_and(jax.lax.shift_right_logical(g, 8),
+                                 0xFF).astype(jnp.float32)
+            b0 = jnp.bitwise_and(g, 0xFF).astype(jnp.float32)
+            ta = w0m[s] * b3 + w1m[s] * b2
+            tb = w0m[s] * b1 + w1m[s] * b0
+            hv_a = ta if hv_a is None else hv_a + ta
+            hv_b = tb if hv_b is None else hv_b + tb
+        return wv_a * hv_a + wv_b * hv_b
+
     n_cand = dmax + 2 - dmin     # candidates dmin .. dmax+1 inclusive
+    step = 2 if packed else 1
+    contrib = contribution_quad if packed else contribution
+    n_steps = (n_cand + step - 1) // step
 
     def macro(m, acc):
-        d0 = dmin + m * unroll
-        cs = [contribution(d0 + off) for off in range(unroll)]
+        d0 = dmin + m * (unroll * step)
+        cs = [contrib(d0 + off * step) for off in range(unroll)]
         while len(cs) > 1:       # pairwise tree sum (ILP)
             cs = [cs[i] + cs[i + 1] if i + 1 < len(cs) else cs[i]
                   for i in range(0, len(cs), 2)]
@@ -196,7 +234,7 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
 
     zero = jnp.zeros((tile_h, TILE_W), jnp.float32)
     if not adaptive_tail:
-        n_macro = (n_cand + unroll - 1) // unroll
+        n_macro = (n_steps + unroll - 1) // unroll
         return jax.lax.fori_loop(0, n_macro, macro, zero)
 
     # Spread-adaptive schedule: full-ILP macro groups for the part of the
@@ -206,13 +244,13 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
     # to unroll-1 gather rounds on tiles whose spread isn't a multiple
     # (e.g. 5 candidates cost 8 contributions; here they cost 5, three of
     # them still pairwise-pipelined).
-    n_main = n_cand // unroll
+    n_main = n_steps // unroll
 
     def tail(i, acc):
-        return acc + contribution(dmin + n_main * unroll + i)
+        return acc + contrib(dmin + (n_main * unroll + i) * step)
 
     acc = jax.lax.fori_loop(0, n_main, macro, zero)
-    return jax.lax.fori_loop(0, n_cand - n_main * unroll, tail, acc)
+    return jax.lax.fori_loop(0, n_steps - n_main * unroll, tail, acc)
 
 
 def _quantize_u8(acc):
@@ -222,7 +260,7 @@ def _quantize_u8(acc):
 
 
 def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
-                      unroll: int):
+                      unroll: int, packed: bool = True):
     def kernel(sbase_ref, y_ref, x_ref, *refs):
         stripes = refs[:N_STRIPES]
         out_ref = refs[N_STRIPES]
@@ -247,7 +285,7 @@ def _make_wide_kernel(tile_h: int, channels: int, pad_h: int, n_sub: int,
             xpx = jnp.take_along_axis(x_ref[0, rows, :], pl_idx, axis=1)
             r0p = (rt * n_sub + sub) * tile_h + pad_h
             acc = _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p,
-                                  tile_h, channels, unroll)
+                                  tile_h, channels, unroll, packed=packed)
             out_ref[0, rows, :] = _quantize_u8(acc)
 
     return kernel
@@ -337,10 +375,13 @@ def _prep_planes(frames_u8, tile_h, packed=False):
     already bounds coords to [0, w-1] — only the +1-neighbor pixel and
     lane alignment need padding, on the right.
 
-    ``packed``: emit value[l]*1024 + value[l+C] (exact in f32 — both are
-    8-bit integers) so one in-kernel gather yields both horizontal
-    bilinear taps (see _sub_accumulate). The +C shift is edge-replicated;
-    those lanes are only sampled at fx == 0."""
+    ``packed``: emit the QUAD pack v[y,l]<<24 | v[y,l+C]<<16 |
+    v[y+1,l]<<8 | v[y+1,l+C] as int32 (four exact 8-bit payloads) so one
+    in-kernel gather yields both horizontal bilinear taps of TWO
+    consecutive source rows (see _sub_accumulate). The +C lane shift and
+    the +1 row shift are edge-replicated: shifted lanes are only sampled
+    at fx == 0, shifted rows only at fy == 0, where the replica is
+    exact."""
     b, h, w, c = frames_u8.shape
     pad_h = tile_h
     pad_l = 0
@@ -357,18 +398,24 @@ def _prep_planes(frames_u8, tile_h, packed=False):
     # u8 -> f32 OUTSIDE the kernel: elementwise (no transpose!) and XLA-
     # fused; Mosaic's in-kernel u8 unpack is a pathological relayout.
     if packed:
-        # Slice/concat in U8 and cast both taps inside ONE fusion: doing
-        # this after the f32 cast made XLA materialize a second full-size
-        # f32 plane for the shifted slice plus a layout copy (~2 ms per
-        # 720p chunk, trace-verified round-3).
-        shifted = jnp.concatenate(
-            [planes[:, :, c:], planes[:, :, -c:]], axis=2)
-        return (planes.astype(jnp.float32) * 1024.0
-                + shifted.astype(jnp.float32)), pad_h, pad_l
+        # Slice/concat in U8 and pack all four taps inside ONE fusion:
+        # widening before the shifts made XLA materialize full-size
+        # intermediate planes plus a layout copy (~2 ms per 720p chunk,
+        # trace-verified round-3 for the f32 pair-pack's equivalent).
+        pc = jnp.concatenate([planes[:, :, c:], planes[:, :, -c:]],
+                             axis=2)
+        p1 = jnp.concatenate([planes[:, 1:, :], planes[:, -1:, :]],
+                             axis=1)
+        p1c = jnp.concatenate([pc[:, 1:, :], pc[:, -1:, :]], axis=1)
+        quad = (jax.lax.shift_left(planes.astype(jnp.int32), 24)
+                | jax.lax.shift_left(pc.astype(jnp.int32), 16)
+                | jax.lax.shift_left(p1.astype(jnp.int32), 8)
+                | p1c.astype(jnp.int32))
+        return quad, pad_h, pad_l
     return planes.astype(jnp.float32), pad_h, pad_l
 
 
-def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
+def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub, packed=True):
     """Layout prep shared by the kernel launch and the coverage predicate.
 
     Returns (planes, y_wide, x_wide, sbase, ok): the edge-padded
@@ -382,7 +429,7 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
         raise ValueError(
             f"_wide_prep needs output W ({wo}) divisible by {TILE_W}")
     del max_dx_px   # wide kernel needs no dx halo (see _prep_planes)
-    planes, pad_h, pad_l = _prep_planes(frames_u8, tile_h)
+    planes, pad_h, pad_l = _prep_planes(frames_u8, tile_h, packed=packed)
     lp = planes.shape[2]
     n_lb = lp // TILE_W
 
@@ -431,7 +478,7 @@ def _wide_prep(frames_u8, grids, max_dx_px, tile_h, n_sub):
 
 
 def _launch(planes, y_wide, x_wide, sbase, ho, wo, c, tile_h,
-            n_sub, interpret):
+            n_sub, interpret, packed=True):
     b, hp, lp = planes.shape
     hop = y_wide.shape[1]
     n_cb = (wo * c) // TILE_W
@@ -460,7 +507,8 @@ def _launch(planes, y_wide, x_wide, sbase, ho, wo, c, tile_h,
                   *(stripe_spec(o) for o in range(N_STRIPES))],
         out_specs=out_spec)
     out = pl.pallas_call(
-        _make_wide_kernel(tile_h, c, tile_h, n_sub, UNROLL),
+        _make_wide_kernel(tile_h, c, tile_h, n_sub,
+                          UNROLL_QUAD if packed else UNROLL, packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hop, n_cb * TILE_W), jnp.uint8),
         interpret=interpret,
@@ -595,8 +643,9 @@ def _launch_offsets(planes, yoffr, xoffr, sbase, h, w, wop, c, gw, scale,
                   *(stripe_spec(o) for o in range(N_STRIPES))],
         out_specs=out_spec)
     out = pl.pallas_call(
-        _make_offsets_kernel(tile_h, c, pad_h, n_sub, UNROLL, h, w, gw,
-                             scale, packed),
+        _make_offsets_kernel(tile_h, c, pad_h, n_sub,
+                             UNROLL_QUAD if packed else UNROLL,
+                             h, w, gw, scale, packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hop, n_cb * TILE_W), jnp.uint8),
         interpret=interpret,

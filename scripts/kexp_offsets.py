@@ -152,7 +152,9 @@ def main():
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--tile-h", type=int, default=warp_wide.TILE_H)
-    ap.add_argument("--unroll", type=int, default=warp_wide.UNROLL)
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="0 = auto (UNROLL_QUAD for packed modes, "
+                         "UNROLL for unpacked)")
     ap.add_argument("--n-sub", type=int, default=0,
                     help="override pick_n_sub (0 = auto)")
     ap.add_argument("variants", nargs="*",
@@ -197,9 +199,11 @@ def main():
         rt_outer = mode == "rt_outer"
         m = "full" if rt_outer else mode
         ins = unpacked_in if mode == "unpacked" else packed_in
-        fn = jax.jit(lambda p_, y_, x_, s_, m=m, ro=rt_outer: launch(
-            p_, y_, x_, s_, h, w, wop, c, gw, 1.0, tile_h, n_sub,
-            tile_h, m, ro, args.unroll))
+        unroll = args.unroll or (warp_wide.UNROLL if m == "unpacked"
+                                 else warp_wide.UNROLL_QUAD)
+        fn = jax.jit(lambda p_, y_, x_, s_, m=m, ro=rt_outer, u=unroll:
+                     launch(p_, y_, x_, s_, h, w, wop, c, gw, 1.0,
+                            tile_h, n_sub, tile_h, m, ro, u))
         o = fn(*ins)
         fetch(o)
         t0 = time.perf_counter()

@@ -173,8 +173,10 @@ def main():
     grids = jax.vmap(lambda p: grid_ops.affine_grid(
         synthetic.jitter_theta(p), h, w))(path)
     n_sub = warp_wide.pick_n_sub(h)
+    # packed=False: this harness's stripped kernel variants predate the
+    # packed schemes and operate on plain f32 planes.
     prep = jax.jit(functools.partial(warp_wide._wide_prep, max_dx_px=0,
-                                     tile_h=32, n_sub=n_sub))
+                                     tile_h=32, n_sub=n_sub, packed=False))
     planes, y_c, x_c, sbase, ok = map(jax.block_until_ready,
                                       prep(frames, grids))
     print(f"backend={jax.default_backend()} n_sub={n_sub} ok={ok}",
@@ -186,7 +188,7 @@ def main():
     for mode in args.variants:
         if mode == "full":
             fn = jax.jit(lambda p_, y_, x_, s_: warp_wide._launch(
-                p_, y_, x_, s_, h, w, c, 32, n_sub, False))
+                p_, y_, x_, s_, h, w, c, 32, n_sub, False, packed=False))
         else:
             fn = jax.jit(functools.partial(
                 launch_stripped, ho=h, wo=w, c=c, tile_h=32, n_sub=n_sub,
