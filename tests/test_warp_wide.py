@@ -166,6 +166,49 @@ class TestDispatch:
         assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
 
 
+class TestQuadPack:
+    """The quad-packed plane layout (ops/warp_wide.py::_prep_planes):
+    four exact 8-bit taps per int32 lane, edge-replicated +C-lane and
+    +1-row shifts. Pinned bit-for-bit against an independent numpy
+    construction so XLA-side fusion/layout changes can't silently alter
+    the kernel's input."""
+
+    @pytest.mark.parametrize("h,w,c", [(40, 100, 3), (33, 128, 3),
+                                       (40, 64, 1), (24, 96, 4)])
+    def test_pack_bit_exact_vs_numpy(self, rng, h, w, c):
+        import math
+        frames = _frames(rng, 2, h, w, c=c)
+        tile_h = warp_wide.TILE_H
+        got = np.asarray(
+            warp_wide._prep_planes(frames, tile_h, packed=True)[0]
+        ).view(np.uint32)
+
+        f = np.asarray(frames)
+        wmult = warp_wide.TILE_W // math.gcd(warp_wide.TILE_W, c)
+        pad_r = (-w) % wmult
+        if pad_r < 1:
+            pad_r += wmult
+        pad_h = tile_h
+        hp = -(-(h + 2 * pad_h) // tile_h) * tile_h
+        p = np.pad(f, ((0, 0), (pad_h, hp - h - pad_h + 1),
+                       (0, pad_r + 1), (0, 0)), mode="edge")
+        wide = p.reshape(2, hp + 1, -1).astype(np.uint32)
+        want = ((wide[:, :-1, :-c] << 24) | (wide[:, :-1, c:] << 16)
+                | (wide[:, 1:, :-c] << 8) | wide[:, 1:, c:])
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("c", [1, 4])
+    def test_channel_generality(self, rng, c):
+        """The wide kernel is generic in C: grayscale and RGBA frames
+        take the same fused path within 1 LSB of the oracle."""
+        frames = _frames(rng, 2, 64, 160, c=c)
+        g = _affine_grids(2, 64, 160)
+        out = warp_wide.warp_u8_batch(frames, g, interpret=INTERPRET)
+        want = np.asarray(warp_wide._oracle_u8(frames, g)).astype(np.int32)
+        assert out.shape == (2, 64, 160, c)
+        assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
+
+
 @pytest.mark.tpu
 class TestTpuCompiled:
     def test_parity_720p(self, rng):
