@@ -362,6 +362,11 @@ def eval_main(argv=None) -> int:
                    default="auto")
     p.add_argument("--platform", default=None)
     p.add_argument("--metrics-out", default=None)
+    p.add_argument("--track-metrics", action="store_true",
+                   help="also report the feature-tracking stabilization "
+                        "trio (stability score, cropping ratio, "
+                        "distortion value) — no ground truth needed, "
+                        "host-side cv2 work")
     _add_model_args(p)
     args = p.parse_args(argv)
     _resolve_preset(args)
@@ -392,7 +397,8 @@ def eval_main(argv=None) -> int:
     agg = {}
     for i in range(args.clips):
         m = evaluate_synthetic(stab, jax.random.key(args.seed + i),
-                               args.frames, h, w)
+                               args.frames, h, w,
+                               track_metrics=args.track_metrics)
         print(f"clip {i}: " + "  ".join(f"{k}={v:.3f}"
                                         for k, v in m.items()))
         for k, v in m.items():

@@ -63,7 +63,15 @@ def _steadiness(frames: np.ndarray) -> float:
 
 
 def evaluate_synthetic(stab: Stabilizer, key: jax.Array, num_frames: int,
-                       height: int, width: int) -> Dict[str, float]:
+                       height: int, width: int,
+                       track_metrics: bool = False) -> Dict[str, float]:
+    """Synthetic-jitter quality report (ground-truth PSNR + steadiness).
+
+    ``track_metrics`` adds the literature's no-ground-truth trio —
+    stability score, cropping ratio, distortion value — estimated by
+    feature tracking (utils/stab_metrics.py); host-side cv2 work, so
+    off by default in tight loops.
+    """
     frames_u8, still_u8, path = synthetic.synthetic_clip_u8(
         key, num_frames, height, width)
     frames_np = np.asarray(frames_u8)
@@ -79,7 +87,7 @@ def evaluate_synthetic(stab: Stabilizer, key: jax.Array, num_frames: int,
     psnr_in = psnr(_interior(frames_np), _interior(targets_np))
     steadiness_in = _steadiness(frames_np)
     steadiness_out = _steadiness(out)
-    return {
+    report = {
         "psnr_vs_target": psnr_out,
         "psnr_identity": psnr_in,
         "psnr_gain_db": psnr_out - psnr_in,
@@ -89,3 +97,7 @@ def evaluate_synthetic(stab: Stabilizer, key: jax.Array, num_frames: int,
                            if steadiness_in > 0 else 1.0),
         "frames": float(num_frames),
     }
+    if track_metrics:
+        from dvsg_tpu.utils import stab_metrics
+        report.update(stab_metrics.stability_report(frames_np, out))
+    return report

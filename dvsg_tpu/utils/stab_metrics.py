@@ -1,0 +1,170 @@
+"""Literature-standard video-stabilization metrics on RAW frames.
+
+The synthetic-jitter harness (train/eval.py) measures fidelity against a
+constructible ground truth; these metrics need NO ground truth — they
+estimate inter-frame camera motion by feature tracking (cv2 LK optical
+flow + robust similarity/affine fits), so they apply to REAL footage and
+to the reference's own outputs if any ever appear (SURVEY.md §4: the
+mount records no golden outputs). The trio follows the video
+stabilization literature (StabNet / DIFRINT / DUT evaluation protocol):
+
+  * stability score — energy of the low-frequency components of the
+    estimated camera path (translation and rotation sequences), as a
+    fraction of total non-DC energy. Smooth paths concentrate energy in
+    low frequencies; 1.0 is perfectly smooth, higher is better.
+  * cropping ratio — scale of the similarity fit between input and
+    output frame t (a stabilizer zooms in to hide borders; ratio is
+    1/scale, closer to 1.0 keeps more field of view).
+  * distortion value — anisotropy of the affine fit between input and
+    output (min/max singular value of the 2x2 linear part); 1.0 means
+    no shear/non-uniform scaling, higher is better.
+
+All functions take (T, H, W, C) uint8 RGB numpy arrays and run on the
+host (cv2). They are measurement utilities, not part of the jit graph.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is baked into the image
+    cv2 = None
+
+_MAX_CORNERS = 300
+_MIN_TRACKS = 12
+
+
+def _gray(frame: np.ndarray) -> np.ndarray:
+    if frame.shape[-1] == 1:
+        return frame[..., 0]
+    if frame.shape[-1] == 4:
+        frame = frame[..., :3]
+    return cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+
+
+def _track(prev_gray: np.ndarray, gray: np.ndarray):
+    """LK-tracked corner pairs between two frames, or (None, None)."""
+    p0 = cv2.goodFeaturesToTrack(prev_gray, maxCorners=_MAX_CORNERS,
+                                 qualityLevel=0.01, minDistance=8,
+                                 blockSize=7)
+    if p0 is None or len(p0) < _MIN_TRACKS:
+        return None, None
+    p1, st, _ = cv2.calcOpticalFlowPyrLK(prev_gray, gray, p0, None)
+    if p1 is None:
+        return None, None
+    good = st.ravel() == 1
+    if good.sum() < _MIN_TRACKS:
+        return None, None
+    return p0[good], p1[good]
+
+
+def _similarity(p0, p1) -> Optional[np.ndarray]:
+    a, _ = cv2.estimateAffinePartial2D(p0, p1, method=cv2.RANSAC,
+                                       ransacReprojThreshold=2.0)
+    return a
+
+
+def camera_path(frames: np.ndarray) -> np.ndarray:
+    """Per-step estimated camera motion: (T-1, 3) [dx_px, dy_px, dtheta].
+
+    Similarity fit between consecutive frames; steps whose tracking
+    fails carry zeros (a conservative "no estimated motion").
+    """
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("cv2 unavailable")
+    t = frames.shape[0]
+    out = np.zeros((max(t - 1, 0), 3), np.float64)
+    prev = _gray(frames[0])
+    for i in range(1, t):
+        cur = _gray(frames[i])
+        p0, p1 = _track(prev, cur)
+        if p0 is not None:
+            a = _similarity(p0, p1)
+            if a is not None:
+                out[i - 1] = (a[0, 2], a[1, 2],
+                              float(np.arctan2(a[1, 0], a[0, 0])))
+        prev = cur
+    return out
+
+
+def _lowfreq_score(x: np.ndarray, k: int = 5) -> float:
+    """Energy share of FFT components 1..k among all non-DC components
+    of the ACCUMULATED path (the literature's stability protocol)."""
+    path = np.cumsum(x)
+    spec = np.abs(np.fft.fft(path)) ** 2
+    half = spec[1:len(spec) // 2 + 1]
+    total = float(half.sum())
+    if total <= 0:
+        return 1.0
+    return float(half[:k].sum()) / total
+
+
+def stability_score(frames: np.ndarray) -> Dict[str, float]:
+    """Low-frequency energy share of the estimated camera path.
+
+    Returns per-component scores and their mean. Needs a few dozen
+    frames for the spectrum to be meaningful.
+    """
+    path = camera_path(frames)
+    if path.shape[0] < 8:
+        return {"stability": float("nan"), "stability_t": float("nan"),
+                "stability_r": float("nan")}
+    sx = _lowfreq_score(path[:, 0])
+    sy = _lowfreq_score(path[:, 1])
+    sr = _lowfreq_score(path[:, 2])
+    st = 0.5 * (sx + sy)
+    return {"stability": (st + sr) / 2.0, "stability_t": st,
+            "stability_r": sr}
+
+
+def _in_out_affine(frame_in: np.ndarray, frame_out: np.ndarray):
+    p0, p1 = _track(_gray(frame_in), _gray(frame_out))
+    if p0 is None:
+        return None
+    a, _ = cv2.estimateAffine2D(p0, p1, method=cv2.RANSAC,
+                                ransacReprojThreshold=2.0)
+    return a
+
+
+def cropping_and_distortion(frames_in: np.ndarray,
+                            frames_out: np.ndarray) -> Dict[str, float]:
+    """Cropping ratio and distortion value from per-frame input→output
+    affine fits (mean over frames with successful tracking)."""
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("cv2 unavailable")
+    crops, dists = [], []
+    for fi, fo in zip(frames_in, frames_out):
+        a = _in_out_affine(fi, fo)
+        if a is None:
+            continue
+        lin = a[:, :2]
+        sv = np.linalg.svd(lin, compute_uv=False)
+        if sv[0] <= 0:
+            continue
+        scale = float(np.sqrt(abs(np.linalg.det(lin))))
+        if scale > 0:
+            crops.append(min(1.0, 1.0 / scale))
+        dists.append(float(sv[-1] / sv[0]))
+    return {
+        "cropping_ratio": float(np.mean(crops)) if crops else float("nan"),
+        "distortion_value": (float(np.mean(dists)) if dists
+                             else float("nan")),
+        "tracked_frames": float(len(dists)),
+    }
+
+
+def stability_report(frames_in: np.ndarray,
+                     frames_out: np.ndarray) -> Dict[str, float]:
+    """Full no-ground-truth report: stability score of input and output
+    paths, cropping ratio, and distortion value."""
+    rep = {}
+    s_in = stability_score(frames_in)
+    s_out = stability_score(frames_out)
+    rep["stability_in"] = s_in["stability"]
+    rep["stability_out"] = s_out["stability"]
+    rep.update(cropping_and_distortion(frames_in, frames_out))
+    return rep
