@@ -403,11 +403,19 @@ def eval_main(argv=None) -> int:
                                         for k, v in m.items()))
         for k, v in m.items():
             agg.setdefault(k, []).append(v)
-    mean = {k: float(np.mean(v)) for k, v in agg.items()}
+    # nanmean: a clip whose feature tracking failed reports NaN for the
+    # tracking trio — it must not poison the other clips' aggregate.
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slice
+        mean = {k: float(np.nanmean(v)) for k, v in agg.items()}
     print("mean:   " + "  ".join(f"{k}={v:.3f}" for k, v in mean.items()))
     if args.metrics_out:
-        write_metrics_jsonl(args.metrics_out,
-                            {"kind": "eval_synthetic", **mean})
+        # NaN -> null: keep the JSONL strictly parseable (json.dumps
+        # would emit a bare `NaN` token that non-Python readers reject).
+        write_metrics_jsonl(args.metrics_out, {
+            "kind": "eval_synthetic",
+            **{k: (None if np.isnan(v) else v) for k, v in mean.items()}})
     return 0
 
 

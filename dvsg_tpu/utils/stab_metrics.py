@@ -68,26 +68,30 @@ def _similarity(p0, p1) -> Optional[np.ndarray]:
     return a
 
 
-def camera_path(frames: np.ndarray) -> np.ndarray:
+def _gray_seq(frames: np.ndarray):
+    return [_gray(f) for f in frames]
+
+
+def camera_path(frames: np.ndarray,
+                grays: Optional[list] = None) -> np.ndarray:
     """Per-step estimated camera motion: (T-1, 3) [dx_px, dy_px, dtheta].
 
     Similarity fit between consecutive frames; steps whose tracking
-    fails carry zeros (a conservative "no estimated motion").
+    fails carry NaN (zero would read as "no motion" — the maximally
+    OPTIMISTIC value for a stability metric, not a conservative one).
     """
     if cv2 is None:  # pragma: no cover
         raise RuntimeError("cv2 unavailable")
     t = frames.shape[0]
-    out = np.zeros((max(t - 1, 0), 3), np.float64)
-    prev = _gray(frames[0])
+    grays = grays or _gray_seq(frames)
+    out = np.full((max(t - 1, 0), 3), np.nan, np.float64)
     for i in range(1, t):
-        cur = _gray(frames[i])
-        p0, p1 = _track(prev, cur)
+        p0, p1 = _track(grays[i - 1], grays[i])
         if p0 is not None:
             a = _similarity(p0, p1)
             if a is not None:
                 out[i - 1] = (a[0, 2], a[1, 2],
                               float(np.arctan2(a[1, 0], a[0, 0])))
-        prev = cur
     return out
 
 
@@ -103,16 +107,29 @@ def _lowfreq_score(x: np.ndarray, k: int = 5) -> float:
     return float(half[:k].sum()) / total
 
 
-def stability_score(frames: np.ndarray) -> Dict[str, float]:
+_MIN_PATH = 12          # k=5 low-freq bins need > 5 non-DC components
+_MAX_FAIL_FRAC = 0.2    # more failed steps than this -> untrackable
+
+
+def stability_score(frames: np.ndarray,
+                    grays: Optional[list] = None) -> Dict[str, float]:
     """Low-frequency energy share of the estimated camera path.
 
-    Returns per-component scores and their mean. Needs a few dozen
-    frames for the spectrum to be meaningful.
+    Returns per-component scores and their mean. NaN when the clip is
+    too short for the spectrum to be meaningful (< _MIN_PATH steps —
+    shorter paths have <= k non-DC bins and score a trivial 1.0) or
+    when more than _MAX_FAIL_FRAC of the steps failed to track
+    (featureless footage must read as "unmeasurable", not "perfect").
     """
-    path = camera_path(frames)
-    if path.shape[0] < 8:
-        return {"stability": float("nan"), "stability_t": float("nan"),
-                "stability_r": float("nan")}
+    nan = {"stability": float("nan"), "stability_t": float("nan"),
+           "stability_r": float("nan")}
+    path = camera_path(frames, grays=grays)
+    if path.shape[0] < _MIN_PATH:
+        return nan
+    failed = np.isnan(path[:, 0])
+    if failed.mean() > _MAX_FAIL_FRAC:
+        return nan
+    path = np.where(np.isnan(path), 0.0, path)  # few gaps: neutral fill
     sx = _lowfreq_score(path[:, 0])
     sy = _lowfreq_score(path[:, 1])
     sr = _lowfreq_score(path[:, 2])
@@ -121,8 +138,8 @@ def stability_score(frames: np.ndarray) -> Dict[str, float]:
             "stability_r": sr}
 
 
-def _in_out_affine(frame_in: np.ndarray, frame_out: np.ndarray):
-    p0, p1 = _track(_gray(frame_in), _gray(frame_out))
+def _in_out_affine(gray_in: np.ndarray, gray_out: np.ndarray):
+    p0, p1 = _track(gray_in, gray_out)
     if p0 is None:
         return None
     a, _ = cv2.estimateAffine2D(p0, p1, method=cv2.RANSAC,
@@ -131,13 +148,18 @@ def _in_out_affine(frame_in: np.ndarray, frame_out: np.ndarray):
 
 
 def cropping_and_distortion(frames_in: np.ndarray,
-                            frames_out: np.ndarray) -> Dict[str, float]:
+                            frames_out: np.ndarray,
+                            grays_in: Optional[list] = None,
+                            grays_out: Optional[list] = None
+                            ) -> Dict[str, float]:
     """Cropping ratio and distortion value from per-frame input→output
     affine fits (mean over frames with successful tracking)."""
     if cv2 is None:  # pragma: no cover
         raise RuntimeError("cv2 unavailable")
+    grays_in = grays_in or _gray_seq(frames_in)
+    grays_out = grays_out or _gray_seq(frames_out)
     crops, dists = [], []
-    for fi, fo in zip(frames_in, frames_out):
+    for fi, fo in zip(grays_in, grays_out):
         a = _in_out_affine(fi, fo)
         if a is None:
             continue
@@ -160,11 +182,16 @@ def cropping_and_distortion(frames_in: np.ndarray,
 def stability_report(frames_in: np.ndarray,
                      frames_out: np.ndarray) -> Dict[str, float]:
     """Full no-ground-truth report: stability score of input and output
-    paths, cropping ratio, and distortion value."""
+    paths, cropping ratio, and distortion value. Grayscale conversions
+    are shared between the path and in→out fits (cv2 is the expensive
+    part of this report)."""
     rep = {}
-    s_in = stability_score(frames_in)
-    s_out = stability_score(frames_out)
+    grays_in = _gray_seq(frames_in)
+    grays_out = _gray_seq(frames_out)
+    s_in = stability_score(frames_in, grays=grays_in)
+    s_out = stability_score(frames_out, grays=grays_out)
     rep["stability_in"] = s_in["stability"]
     rep["stability_out"] = s_out["stability"]
-    rep.update(cropping_and_distortion(frames_in, frames_out))
+    rep.update(cropping_and_distortion(frames_in, frames_out,
+                                       grays_in, grays_out))
     return rep

@@ -63,6 +63,23 @@ def test_report_identity_output(clips):
     assert rep["tracked_frames"] >= T - 2
 
 
+def test_featureless_clip_is_unmeasurable_not_perfect():
+    """Tracking failure must read as NaN, not a perfect 1.0 — zeros in
+    the path would score as 'no motion' (review finding)."""
+    flat = np.full((T, 120, 160, 3), 128, np.uint8)
+    s = stab_metrics.stability_score(flat)
+    assert np.isnan(s["stability"])
+
+
+def test_short_clip_is_unmeasurable():
+    """Paths with <= k non-DC spectral bins score a trivial 1.0; the
+    guard must return NaN below 12 steps (review finding)."""
+    frames, _, _ = synthetic.synthetic_clip_u8(jax.random.key(4),
+                                               10, 120, 160)
+    s = stab_metrics.stability_score(np.asarray(frames))
+    assert np.isnan(s["stability"])
+
+
 def test_evaluate_synthetic_track_metrics_flag():
     from dvsg_tpu.config import ModelConfig, StabilizeConfig
     from dvsg_tpu.models import motion_cnn
