@@ -66,6 +66,8 @@ class BatchStabilizer:
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._fns: Dict[tuple, object] = {}
         self.stats = {"requests": 0, "batches": 0, "max_group": 0}
+        self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -73,19 +75,45 @@ class BatchStabilizer:
 
     def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
         """(T, H, W, C) uint8 → stabilized same shape; thread-safe."""
+        frames_u8 = np.asarray(frames_u8)
         if frames_u8.ndim != 4 or frames_u8.shape[0] == 0:
             raise ValueError(f"need a (T, H, W, C) clip, "
                              f"got {frames_u8.shape}")
-        req = _Request(np.asarray(frames_u8, np.uint8))
-        self._q.put(req)
+        if frames_u8.dtype != np.uint8:
+            # Reject rather than cast: float frames in [0, 1] would
+            # silently truncate to near-black garbage.
+            raise TypeError(f"need uint8 frames in [0, 255], got "
+                            f"{frames_u8.dtype}")
+        req = _Request(frames_u8)
+        # The lock orders submission against close(): without it a
+        # request enqueued after the worker consumed the shutdown
+        # sentinel would block on req.done forever.
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchStabilizer is closed")
+            self._q.put(req)
         req.done.wait()
         if req.error is not None:
             raise req.error
         return req.output
 
     def close(self):
-        self._q.put(None)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
+        # Fail anything the worker never picked up (enqueued before the
+        # sentinel but left behind when the worker exited mid-group).
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.error = RuntimeError("BatchStabilizer closed")
+                item.done.set()
 
     # -- device worker --------------------------------------------------
 
@@ -178,12 +206,19 @@ class BatchStabilizer:
             # same one-chunk pipeline as multiclip.py's flush(pending).
             out, halos, _ = fn(self.params, put_frames(chunk), halos)
             if pending is not None:
-                outs.append(fetch_frames(pending[0][:, :pending[1]]))
+                outs.append(fetch_frames(pending[0][:b, :pending[1]]))
+            # [:b]: the pow2 padding clips must be COMPUTED (one program
+            # per pow2 batch) but never transferred — D2H is the scarce
+            # resource here, not device FLOPs.
             pending = (out, n_valid)
         if pending is not None:
-            outs.append(fetch_frames(pending[0][:, :pending[1]]))
+            outs.append(fetch_frames(pending[0][:b, :pending[1]]))
         full = np.concatenate(outs, axis=1)
         self.stats["batches"] += 1
         for i, r in enumerate(items):
-            r.output = full[i, :lens[i]]
+            # copy: a slice of `full` is a VIEW that would pin the whole
+            # (b, max_len, H, W, C) batch for as long as any caller holds
+            # its output (a 5-frame clip grouped with a long segment
+            # would retain the segment's full buffer).
+            r.output = np.ascontiguousarray(full[i, :lens[i]])
             r.done.set()

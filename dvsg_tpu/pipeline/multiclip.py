@@ -58,9 +58,12 @@ class MultiClipResult:
         return not self.failed_clips
 
 
-def _decode_worker(reader, chunk, out_q, errs, idx):
+def _decode_worker(reader, chunk, out_q, errs, idx, stop):
+    # ``stop`` is set only on the ABNORMAL exit path (device-step
+    # failure): it bounds how much a worker decodes after the main loop
+    # stopped consuming, so the error-path drain finishes quickly.
     try:
-        while True:
+        while not stop.is_set():
             batch = reader.read_batch(chunk)
             out_q.put(batch)
             if batch.shape[0] < chunk:
@@ -114,6 +117,15 @@ def stabilize_multi(cfg: StabilizeConfig, params,
                              f"got {r.shape} vs {(h, w)}")
 
     if mesh is not None:
+        n_dev = mesh.devices.size
+        if n % n_dev != 0:
+            # Fail BEFORE any worker thread starts: the sharding error
+            # XLA would raise at the first chunk is cryptic and would
+            # leave decode/encode threads running (dp.py has the same
+            # up-front check for its clip batches).
+            raise ValueError(
+                f"clip count {n} must be divisible by the mesh's "
+                f"{n_dev} devices for per-clip data parallelism")
         fn = dp.make_sharded_chunk_fn(cfg, mesh)
     else:
         from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
@@ -133,10 +145,11 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     written = [0] * n           # frames on disk, owned by encode workers
     threads = []
     dec_threads = []
+    dec_stop = threading.Event()
     for i in range(n):
         t = threading.Thread(target=_decode_worker,
                              args=(readers[i], t_chunk, dec_qs[i],
-                                   dec_errors, i),
+                                   dec_errors, i, dec_stop),
                              daemon=True)
         t.start()
         threads.append(t)
@@ -162,9 +175,48 @@ def stabilize_multi(cfg: StabilizeConfig, params,
         t.start()
         threads.append(t)
 
-    halos = None
     done = [False] * n
     last = [None] * n           # last frame of each clip for padding
+
+    try:
+        _run_main_loop(cfg, n, t_chunk, h, w, fn, params, timer,
+                       dec_qs, enc_qs, dec_errors, enc_errors,
+                       done, last, _drain_decode)
+    except BaseException:
+        # The device step (or a fetch) died mid-run: stop + drain the
+        # decode workers and sentinel the encoders BEFORE the exception
+        # escapes — otherwise the caller's writer.close() races the
+        # in-flight write_batch calls (truncated containers, written[]
+        # counts that don't match disk) and blocked decode workers leak.
+        dec_stop.set()
+        for i in range(n):
+            if not done[i]:
+                _drain_decode(i)
+        raise
+    finally:
+        for q in enc_qs:
+            q.put(_SENTINEL)
+        # Join without timeout: decode workers have terminated (normal
+        # path: their final short batch was consumed; error path: the
+        # stop+drain above) and the sentinel guarantees encode workers
+        # exit once their queues drain. A timed join could return while
+        # encoders still write, and the caller's writer.close() would
+        # then race the in-flight writes and truncate outputs.
+        for t in threads:
+            t.join()
+    # All workers have joined: written[] is final.
+    merged = [d if d is not None else e
+              for d, e in zip(dec_errors, enc_errors)]
+    result = MultiClipResult(written, merged)
+    if result.failed_clips and len(result.failed_clips) == n:
+        raise merged[result.failed_clips[0]]
+    return result
+
+
+def _run_main_loop(cfg, n, t_chunk, h, w, fn, params, timer, dec_qs,
+                   enc_qs, dec_errors, enc_errors, done, last,
+                   _drain_decode) -> None:
+    halos = None
     pending = None              # (device out, valid list) to fetch later
     blank = np.zeros((t_chunk, h, w, 3), np.uint8)
 
@@ -236,18 +288,3 @@ def stabilize_multi(cfg: StabilizeConfig, params,
 
     if pending is not None:
         flush(pending)
-    for q in enc_qs:
-        q.put(_SENTINEL)
-    # Join without timeout: decode workers have terminated (their final
-    # short batch was consumed above) and the sentinel guarantees encode
-    # workers exit once their queues drain. A timed join here could return
-    # while encoders still write, and the caller's writer.close() would
-    # then race the in-flight writes and truncate outputs.
-    for t in threads:
-        t.join()
-    merged = [d if d is not None else e
-              for d, e in zip(dec_errors, enc_errors)]
-    result = MultiClipResult(written, merged)
-    if result.failed_clips and len(result.failed_clips) == n:
-        raise merged[result.failed_clips[0]]
-    return result

@@ -45,7 +45,19 @@ class OnlineStabilizer:
     def push(self, frame: np.ndarray) -> List[np.ndarray]:
         """Add one (H, W, 3) uint8 frame; returns 0 or chunk_frames
         stabilized frames."""
-        self._buf.append(np.asarray(frame))
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8:
+            # Reject rather than cast: a float frame in [0, 1] (common
+            # for live capture pipelines) would silently survive an
+            # astype as near-black garbage — the pipeline's contract is
+            # 0..255 uint8.
+            raise TypeError(
+                f"push() needs uint8 frames in [0, 255], got "
+                f"{frame.dtype}; scale and cast explicitly")
+        if frame.ndim != 3:
+            raise ValueError(f"push() needs one (H, W, C) frame, got "
+                             f"shape {frame.shape}")
+        self._buf.append(frame)
         if len(self._buf) < self.cfg.chunk_frames:
             return []
         chunk = np.stack(self._buf)

@@ -36,6 +36,7 @@ _ALLOWED_FORMATS = frozenset({"mp4", "m4v", "mov", "avi", "mkv", "webm"})
 class _State:
     engine = None               # BatchStabilizer (owns the device worker)
     model_desc = ""
+    max_upload = 1 << 30        # request-body cap in bytes (see do_POST)
 
 
 def _build_handler(state: _State):
@@ -72,6 +73,12 @@ def _build_handler(state: _State):
             if length <= 0:
                 self._json(400, {"error": "empty body"})
                 return
+            if length > state.max_upload:
+                self._json(413, {
+                    "error": f"body is {length} bytes; the server caps "
+                             f"uploads at {state.max_upload} (each "
+                             "request thread buffers its body in RAM)"})
+                return
             data = self.rfile.read(length)
             fmt = "mp4"
             if "format=" in self.path:
@@ -83,8 +90,18 @@ def _build_handler(state: _State):
                 return
             try:
                 out_bytes, n = _stabilize_bytes(state, data, fmt)
-            except Exception as e:
+            except ValueError as e:
+                # Client-input problems are raised as ValueError with
+                # pre-sanitized messages (no server paths).
                 self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001
+                # Everything else is a SERVER fault (device outage,
+                # writer/codec failure): report 5xx so monitoring sees
+                # it, and keep internals (temp paths, tracebacks) out of
+                # the body.
+                self._json(500, {"error": "internal stabilization "
+                                          f"failure ({type(e).__name__})"})
                 return
             self.send_response(200)
             self.send_header("Content-Type", f"video/{fmt}")
@@ -94,6 +111,16 @@ def _build_handler(state: _State):
             self.wfile.write(out_bytes)
 
     return Handler
+
+
+def _read_sanitized(reader, n: int):
+    """Decode errors mid-stream are the CLIENT's broken container; the
+    raw cv2 exception can carry the server's temp path, so re-raise as a
+    clean ValueError (→ 400)."""
+    try:
+        return reader.read_batch(n)
+    except Exception:
+        raise ValueError("request body stopped decoding mid-stream")
 
 
 def _stabilize_bytes(state: _State, data: bytes, fmt: str,
@@ -135,7 +162,7 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
             # First decode BEFORE the writer exists: undecodable or
             # zero-dimension bodies must answer "no decodable frames",
             # not a writer error carrying the server's temp path.
-            c = reader.read_batch(seg)
+            c = _read_sanitized(reader, seg)
             if c.shape[0] == 0:
                 raise ValueError("no decodable frames in request body")
             n_out = 0
@@ -158,17 +185,19 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                     prefix = (inp[-(window - 1):].copy()
                               if window > 1 else None)
                     del inp, out
-                    c = reader.read_batch(seg)
+                    c = _read_sanitized(reader, seg)
         with open(dst, "rb") as f:
             return f.read(), n_out
 
 
 def make_server(host: str, port: int, engine,
-                model_desc: str = "") -> ThreadingHTTPServer:
+                model_desc: str = "",
+                max_upload_bytes: int = 1 << 30) -> ThreadingHTTPServer:
     """``engine``: a pipeline.batching.BatchStabilizer."""
     state = _State()
     state.engine = engine
     state.model_desc = model_desc
+    state.max_upload = max_upload_bytes
     srv = ThreadingHTTPServer((host, port), _build_handler(state))
     srv.engine = engine
     return srv
@@ -190,6 +219,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="how long the device worker waits for "
                         "co-travellers after a request arrives")
+    p.add_argument("--max-upload-mb", type=int, default=1024,
+                   help="reject request bodies above this size with 413 "
+                        "(each request thread buffers its body in RAM)")
     args = p.parse_args(argv)
 
     import jax
@@ -218,7 +250,8 @@ def main(argv=None) -> int:
                           warp_impl=args.warp_impl)
     engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
                              window_s=args.batch_window_ms / 1e3)
-    srv = make_server(args.host, args.port, engine, desc)
+    srv = make_server(args.host, args.port, engine, desc,
+                      max_upload_bytes=args.max_upload_mb << 20)
     print(f"serving on http://{args.host}:{args.port}  ({desc})")
     try:
         srv.serve_forever()

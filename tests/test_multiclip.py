@@ -192,3 +192,52 @@ def test_all_clips_failing_raises(tmp_path, params, rng):
     writers = [video_io.VideoWriter(str(tmp_path / "ao"), 40, 32)]
     with pytest.raises(IOError):
         stabilize_multi(CFG, params, readers, writers)
+
+
+def test_device_failure_cleans_up_workers(tmp_path, params, rng,
+                                          monkeypatch):
+    """A device-step exception must stop and join every worker thread
+    BEFORE escaping: the caller's writer.close() must not race in-flight
+    write_batch calls (review finding)."""
+    import threading as _threading
+
+    from dvsg_tpu.pipeline import multiclip as mc
+
+    dirs, _ = _make_clips(tmp_path, rng, [12, 12])
+    outs = [str(tmp_path / f"dfo{i}") for i in range(2)]
+    readers = [video_io.VideoReader(d) for d in dirs]
+    writers = [video_io.VideoWriter(o, 40, 32) for o in outs]
+    calls = {"n": 0}
+    real_put = mc.put_frames
+
+    def failing_put(x):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected device failure")
+        return real_put(x)
+
+    monkeypatch.setattr(mc, "put_frames", failing_put)
+    before = set(_threading.enumerate())
+    with pytest.raises(RuntimeError, match="injected device failure"):
+        stabilize_multi(CFG, params, readers, writers)
+    leftover = [t for t in _threading.enumerate()
+                if t not in before and t.is_alive()]
+    assert not leftover, f"driver leaked worker threads: {leftover}"
+    for w_ in writers:
+        w_.close()          # safe: no in-flight writes remain
+    for r_ in readers:
+        r_.close()
+
+
+def test_mesh_indivisible_clip_count_rejected(tmp_path, params, rng):
+    """The sharded path must reject n % devices != 0 up front with a
+    clear error, before any worker thread starts (review finding)."""
+    dirs, _ = _make_clips(tmp_path, rng, [4, 4, 4])
+    readers = [video_io.VideoReader(d) for d in dirs]
+    writers = [video_io.VideoWriter(str(tmp_path / f"mi{i}"), 40, 32)
+               for i in range(3)]
+    with pytest.raises(ValueError, match="divisible"):
+        stabilize_multi(CFG, params, readers, writers,
+                        mesh=mesh_lib.make_mesh())
+    for r_ in readers:
+        r_.close()

@@ -49,3 +49,22 @@ def test_reset(params, rng):
     online.push(frames[0])
     online.reset()
     assert online.flush() == []
+
+
+def test_push_rejects_non_uint8():
+    import numpy as _np
+    import pytest as _pytest
+
+    from dvsg_tpu.config import ModelConfig, StabilizeConfig
+    from dvsg_tpu.models import motion_cnn
+    from dvsg_tpu.pipeline.online import OnlineStabilizer
+
+    mcfg = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                       base_features=8, blocks_per_level=1)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=4, warp_impl="lax")
+    stab = OnlineStabilizer(cfg, motion_cnn.init_params(
+        mcfg, __import__("jax").random.key(0)))
+    with _pytest.raises(TypeError, match="uint8"):
+        stab.push(_np.zeros((32, 40, 3), _np.float32))
+    with _pytest.raises(ValueError, match="one .H, W, C. frame"):
+        stab.push(_np.zeros((2, 32, 40, 3), _np.uint8))

@@ -212,3 +212,71 @@ def test_batch_engine_mixed_resolutions(rng):
     for clip, out in zip(clips, outs):
         assert out.shape == clip.shape
         np.testing.assert_array_equal(out, single.stabilize_clip(clip))
+
+
+def test_engine_close_rejects_new_requests(rng):
+    """stabilize_clip after close() must raise, not hang (review
+    finding: the worker that would set req.done has exited)."""
+    params = motion_cnn.init_params(MCFG, jax.random.key(0))
+    engine = BatchStabilizer(CFG, params, max_batch=2, window_s=0.0)
+    frames = (rng.random((4, 32, 48, 3)) * 255).astype(np.uint8)
+    engine.stabilize_clip(frames)           # engine works before close
+    engine.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        engine.stabilize_clip(frames)
+    engine.close()                          # idempotent
+
+
+def test_engine_rejects_non_uint8(rng):
+    params = motion_cnn.init_params(MCFG, jax.random.key(0))
+    engine = BatchStabilizer(CFG, params, max_batch=2, window_s=0.0)
+    try:
+        with pytest.raises(TypeError, match="uint8"):
+            engine.stabilize_clip(rng.random((4, 32, 48, 3),
+                                             dtype=np.float32))
+    finally:
+        engine.close()
+
+
+def test_server_fault_is_500_and_oversize_is_413(tmp_path, rng):
+    """Device/engine failures must surface as 5xx (not 'your request is
+    bad'), with internals kept out of the body; oversized uploads get
+    413 (review findings)."""
+    import urllib.error
+
+    params = motion_cnn.init_params(MCFG, jax.random.key(0))
+    engine = BatchStabilizer(CFG, params, max_batch=2, window_s=0.0)
+
+    def boom(frames):
+        raise RuntimeError("tunnel dropped /tmp/secret/path")
+
+    engine.stabilize_clip = boom
+    srv = serve.make_server("127.0.0.1", 0, engine, "t",
+                            max_upload_bytes=10_000)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        frames = (rng.random((4, 32, 48, 3)) * 255).astype(np.uint8)
+        src = str(tmp_path / "in500.mp4")
+        with video_io.VideoWriter(src, 48, 32, fps=24.0) as w:
+            w.write_batch(frames)
+        with open(src, "rb") as f:
+            payload = f.read()
+        req = urllib.request.Request(url + "/stabilize", data=payload,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 500
+        body = e.value.read().decode()
+        assert "/tmp" not in body and "secret" not in body
+        assert "RuntimeError" in body
+
+        req = urllib.request.Request(url + "/stabilize",
+                                     data=b"x" * 20_000, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+    finally:
+        srv.shutdown()
+        engine.close()
