@@ -62,26 +62,14 @@ class ShardedClipStabilizer:
 
     def stabilize_clips(self, clips_u8: np.ndarray) -> np.ndarray:
         """clips_u8 (B, T_total, H, W, C) uint8 → same-shape stabilized."""
-        from dvsg_tpu.pipeline.stabilize import initial_halo
-        b, total = clips_u8.shape[:2]
+        from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
+        b = clips_u8.shape[0]
         if b % self.mesh.devices.size:
             raise ValueError(
                 f"clip batch {b} must divide evenly over "
                 f"{self.mesh.devices.size} devices")
-        halos = jnp.stack([
-            initial_halo(self.cfg, clips_u8[i, 0]) for i in range(b)])
-        t_chunk = self.cfg.chunk_frames
-        outs = []
-        for start in range(0, total, t_chunk):
-            chunk = clips_u8[:, start:start + t_chunk]
-            n_valid = chunk.shape[1]
-            if n_valid < t_chunk:
-                pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
-                chunk = np.concatenate([chunk, pad], axis=1)
-            from dvsg_tpu.pipeline.stabilize import fetch_frames, put_frames
-            out, halos, _ = self._fn(self.params, put_frames(chunk), halos)
-            outs.append(fetch_frames(out[:, :n_valid]))
-        return np.concatenate(outs, axis=1)
+        return drive_chunked_batch(self._fn, self.params, self.cfg,
+                                   clips_u8)
 
 
 # ---------------------------------------------------------------------------

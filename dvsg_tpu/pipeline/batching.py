@@ -33,8 +33,8 @@ import jax
 import numpy as np
 
 from dvsg_tpu.config import StabilizeConfig
-from dvsg_tpu.pipeline.stabilize import (fetch_frames, initial_halo,
-                                         put_frames, stabilize_chunk_impl)
+from dvsg_tpu.pipeline.stabilize import (drive_chunked_batch,
+                                         stabilize_chunk_impl)
 
 
 @dataclass
@@ -169,13 +169,10 @@ class BatchStabilizer:
         return self._fns[key]
 
     def _run_group(self, items: List[_Request]):
-        import jax.numpy as jnp
-
         b = len(items)
         bp = 1
         while bp < b:
             bp *= 2
-        t_chunk = self.cfg.chunk_frames
         lens = [r.frames.shape[0] for r in items]
         max_len = max(lens)
         clips = []
@@ -189,31 +186,11 @@ class BatchStabilizer:
             clips.append(clips[0])
         batch = np.stack(clips)                # (bp, max_len, H, W, C)
 
-        halos = jnp.stack([initial_halo(self.cfg, clips[i][0])
-                           for i in range(bp)])
-        fn = self._fn(bp)
-        outs = []
-        pending = None      # (device out, n_valid): fetch AFTER the next
-        for start in range(0, max_len, t_chunk):
-            chunk = batch[:, start:start + t_chunk]
-            n_valid = chunk.shape[1]
-            if n_valid < t_chunk:
-                pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
-                chunk = np.concatenate([chunk, pad], axis=1)
-            # Dispatch chunk k+1 (it only needs the device-side halos)
-            # before fetching chunk k, so the D2H transfer overlaps the
-            # next chunk's compute instead of stalling the device — the
-            # same one-chunk pipeline as multiclip.py's flush(pending).
-            out, halos, _ = fn(self.params, put_frames(chunk), halos)
-            if pending is not None:
-                outs.append(fetch_frames(pending[0][:b, :pending[1]]))
-            # [:b]: the pow2 padding clips must be COMPUTED (one program
-            # per pow2 batch) but never transferred — D2H is the scarce
-            # resource here, not device FLOPs.
-            pending = (out, n_valid)
-        if pending is not None:
-            outs.append(fetch_frames(pending[0][:b, :pending[1]]))
-        full = np.concatenate(outs, axis=1)
+        # drive_chunked_batch pipelines D2H one chunk behind dispatch and
+        # fetches only the b REAL clips — the pow2 padding clips must be
+        # computed (one program per pow2 batch) but never transferred.
+        full = drive_chunked_batch(self._fn(bp), self.params, self.cfg,
+                                   batch, fetch_clips=b)
         self.stats["batches"] += 1
         for i, r in enumerate(items):
             # copy: a slice of `full` is a VIEW that would pin the whole

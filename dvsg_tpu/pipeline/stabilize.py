@@ -112,6 +112,48 @@ stabilize_chunk = functools.partial(
     jax.jit, static_argnums=(0,), donate_argnums=(2, 3))(stabilize_chunk_impl)
 
 
+def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
+                        clips_u8: np.ndarray, halos=None,
+                        fetch_clips: Optional[int] = None) -> np.ndarray:
+    """Drive a vmapped/sharded chunk ``fn`` over an in-memory clip batch.
+
+    The shared chunk/pad/dispatch/fetch loop of the clip-batch surfaces
+    (parallel/dp.py, pipeline/batching.py) — kept in ONE place so its
+    invariants can't diverge between copies (an earlier review found the
+    hand-rolled copies already had). ``fn(params, frames_dev, halos)``
+    must return ``(out, new_halos, ...)``.
+
+    One-chunk D2H pipelining: chunk k+1 is dispatched before chunk k is
+    fetched, so the device-to-host transfer overlaps the next chunk's
+    compute. ``fetch_clips`` limits the fetch to the first k clips
+    (pow2-padding dummies must be computed, never transferred).
+
+    clips_u8 (B, T_total, H, W, C) uint8 → (fetch_clips, T_total, ...).
+    """
+    b, total = clips_u8.shape[:2]
+    k = b if fetch_clips is None else fetch_clips
+    t_chunk = cfg.chunk_frames
+    if halos is None:
+        halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
+                           for i in range(b)])
+    outs = []
+    pending = None              # (device out, n_valid): fetch AFTER the
+    for start in range(0, total, t_chunk):     # next chunk dispatches
+        chunk = clips_u8[:, start:start + t_chunk]
+        n_valid = chunk.shape[1]
+        if n_valid < t_chunk:
+            pad = np.repeat(chunk[:, -1:], t_chunk - n_valid, axis=1)
+            chunk = np.concatenate([chunk, pad], axis=1)
+        res = fn(params, put_frames(chunk), halos)
+        out, halos = res[0], res[1]
+        if pending is not None:
+            outs.append(fetch_frames(pending[0][:k, :pending[1]]))
+        pending = (out, n_valid)
+    if pending is not None:
+        outs.append(fetch_frames(pending[0][:k, :pending[1]]))
+    return np.concatenate(outs, axis=1)
+
+
 def put_frames(host_frames: np.ndarray) -> jax.Array:
     """Host→device upload of (..., H, W, C) uint8 frames.
 
