@@ -232,6 +232,12 @@ def train_main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest step in --checkpoint")
+    p.add_argument("--data", nargs="+", default=None, metavar="CLIP",
+                   help="fine-tune on your own footage: video files or "
+                        "frame dirs used as the base-image bank "
+                        "(supervision stays the exact synthetic jitter)")
+    p.add_argument("--data-images", type=int, default=256,
+                   help="bank size when --data is given (random crops)")
     _add_model_args(p)
     args = p.parse_args(argv)
 
@@ -245,6 +251,14 @@ def train_main(argv=None) -> int:
     cfg = TrainConfig(model=_model_cfg(args), steps=args.steps,
                       batch_size=args.batch_size,
                       learning_rate=args.learning_rate, seed=args.seed)
+    bank = None
+    if args.data:
+        from dvsg_tpu.train.data import build_image_bank_multi
+        bank = build_image_bank_multi(args.data, cfg.model.model_size,
+                                      num_images=args.data_images,
+                                      seed=args.seed)
+        print(f"image bank: {bank.shape[0]} crops from "
+              f"{len(args.data)} clip(s)")
     state = None
     if args.resume:
         try:
@@ -253,7 +267,7 @@ def train_main(argv=None) -> int:
             print(f"ERROR: --resume: {e}", file=sys.stderr)
             return 2
         print(f"resuming from step {int(state.step)}")
-    loop.train(cfg, checkpoint_dir=args.checkpoint, state=state)
+    loop.train(cfg, checkpoint_dir=args.checkpoint, state=state, bank=bank)
     print(f"saved checkpoint to {args.checkpoint}")
     return 0
 

@@ -76,9 +76,13 @@ class ShardedClipStabilizer:
 # Data-parallel training step
 # ---------------------------------------------------------------------------
 
-def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
+def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, bank=None):
     """DP train step: params/opt-state replicated, per-sample key batch
     sharded on ``data``. GSPMD inserts the gradient all-reduce.
+
+    ``bank`` (optional, train/data.py) is a real-footage image bank; it is
+    replicated — every device gathers its own random rows, so adding it
+    costs zero collectives.
 
     Returns (step_fn, shard_keys) where step_fn(state, keys) → (state, aux)
     and shard_keys places a (B,) key batch onto the mesh.
@@ -89,10 +93,12 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
             f"{mesh.devices.size} devices")
     repl = NamedSharding(mesh, P())
     keys_sharded = NamedSharding(mesh, P(DATA_AXIS))
+    if bank is not None:
+        bank = jax.device_put(jnp.asarray(bank, jnp.float32), repl)
 
     def _step(state, keys):
         (_, aux), grads = jax.value_and_grad(
-            train_loop.loss_fn, has_aux=True)(state.params, keys, cfg)
+            train_loop.loss_fn, has_aux=True)(state.params, keys, cfg, bank)
         opt = train_loop.make_optimizer(cfg)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(

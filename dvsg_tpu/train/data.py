@@ -1,0 +1,91 @@
+"""Real-footage image bank for fine-tuning.
+
+The self-supervised trainer renders shaky clips from base images and
+supervises against the known jitter path (train/synthetic.py). By default
+the base images are procedural multi-octave noise; this module lets them
+come from the user's OWN footage instead — decode a video (or frame dir),
+take random crops at model resolution, and hand the resulting bank to the
+train loop. The jitter path, targets, and losses are untouched, so the
+ground-truth supervision stays exact while the texture distribution
+becomes the deployment footage (SURVEY.md §3.2 dataset role; the
+reference's training data is unavailable — mount empty — so this is the
+domain-adaptation story).
+
+Bank construction is one-time host work (numpy + cv2); training itself
+never touches the host again — the bank lives on device and the jitted
+step gathers random rows from it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from dvsg_tpu.utils import video_io
+
+
+def _crop_resize(frame: np.ndarray, model_hw: Tuple[int, int],
+                 rng: np.random.Generator) -> np.ndarray:
+    """One random crop of a random scale, resized to model resolution."""
+    import cv2
+
+    mh, mw = model_hw
+    h, w = frame.shape[:2]
+    # Crop size: uniform between model size and the largest same-aspect
+    # window that fits — small crops add texture-scale diversity.
+    max_scale = min(h / mh, w / mw)
+    if max_scale < 1.0:
+        # Source smaller than model res: upscale the whole frame.
+        ch, cw = h, w
+    else:
+        s = rng.uniform(1.0, max_scale)
+        ch, cw = int(round(mh * s)), int(round(mw * s))
+    y0 = rng.integers(0, h - ch + 1)
+    x0 = rng.integers(0, w - cw + 1)
+    crop = frame[y0:y0 + ch, x0:x0 + cw]
+    if (ch, cw) != (mh, mw):
+        interp = cv2.INTER_AREA if ch >= mh else cv2.INTER_LINEAR
+        crop = cv2.resize(crop, (mw, mh), interpolation=interp)
+    return crop
+
+
+def build_image_bank(path: str, model_hw: Tuple[int, int],
+                     num_images: int = 256, seed: int = 0) -> np.ndarray:
+    """Decode footage and return a (N, mh, mw, 3) f32 bank in [0, 1].
+
+    ``path`` is a video container or a frame directory (anything
+    video_io.VideoReader accepts). Frames are sampled evenly across the
+    clip; each bank image is an independent random crop, so a short clip
+    still yields a diverse bank.
+    """
+    mh, mw = model_hw
+    with video_io.VideoReader(path) as reader:
+        frames = [f for f in reader]
+    if not frames:
+        raise ValueError(f"no frames decoded from {path!r}")
+    rng = np.random.default_rng(seed)
+    # Even coverage of the clip, wrapping when num_images > len(frames).
+    order = np.linspace(0, len(frames) - 1, num_images).round().astype(int)
+    bank = np.empty((num_images, mh, mw, 3), np.float32)
+    for i, fi in enumerate(order):
+        crop = _crop_resize(frames[fi], (mh, mw), rng)
+        bank[i] = crop.astype(np.float32) / 255.0
+    return bank
+
+
+def build_image_bank_multi(paths: Sequence[str], model_hw: Tuple[int, int],
+                           num_images: int = 256, seed: int = 0
+                           ) -> np.ndarray:
+    """Bank drawn round-robin from several clips (num_images split evenly;
+    the remainder goes to the first clips)."""
+    if not paths:
+        raise ValueError("need at least one input path")
+    per = num_images // len(paths)
+    extra = num_images - per * len(paths)
+    parts = []
+    for i, p in enumerate(paths):
+        n = per + (1 if i < extra else 0)
+        if n:
+            parts.append(build_image_bank(p, model_hw, n, seed=seed + i))
+    return np.concatenate(parts, axis=0)

@@ -54,7 +54,26 @@ def init_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def _sample_batch(keys: jax.Array, cfg: TrainConfig):
+def _draw_stills(keys: jax.Array, cfg: TrainConfig, bank):
+    """Base images for the batch: procedural noise, or random augmented
+    draws from a real-footage bank (train/data.py) when one is given."""
+    mh, mw = cfg.model.model_size
+    if bank is None:
+        return jax.vmap(lambda k: synthetic.random_still(k, mh, mw))(keys)
+
+    bank = jnp.asarray(bank)
+
+    def draw(k):
+        ki, kf = jax.random.split(k)
+        img = bank[jax.random.randint(ki, (), 0, bank.shape[0])]
+        fh, fv = jax.random.bernoulli(kf, shape=(2,))
+        img = jnp.where(fh, img[:, ::-1, :], img)
+        return jnp.where(fv, img[::-1, :, :], img)
+
+    return jax.vmap(draw)(keys)
+
+
+def _sample_batch(keys: jax.Array, cfg: TrainConfig, bank=None):
     """Render a batch of short synthetic clips at model resolution.
 
     Per window (ending at frame t) the learnable target is the warp taking
@@ -83,8 +102,7 @@ def _sample_batch(keys: jax.Array, cfg: TrainConfig):
 
     k_img = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
     k_path = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-    stills = jax.vmap(
-        lambda k: synthetic.random_still(k, mh, mw))(k_img)      # (B,mh,mw,C)
+    stills = _draw_stills(k_img, cfg, bank)                      # (B,mh,mw,C)
     paths = jax.vmap(
         lambda k: synthetic.random_camera_path(k, clip_len))(k_path)
 
@@ -132,11 +150,11 @@ def batch_keys(key: jax.Array, cfg: TrainConfig) -> jax.Array:
     return jax.random.split(key, cfg.batch_size)
 
 
-def loss_fn(params, keys: jax.Array, cfg: TrainConfig):
+def loss_fn(params, keys: jax.Array, cfg: TrainConfig, bank=None):
     mcfg = cfg.model
     mh, mw = mcfg.model_size
     n = mcfg.window
-    in_frames, lasts, t_frames, t_offs = _sample_batch(keys, cfg)
+    in_frames, lasts, t_frames, t_offs = _sample_batch(keys, cfg, bank)
     b, s = lasts.shape[:2]
     clip_len = in_frames.shape[1]
 
@@ -182,10 +200,11 @@ def loss_fn(params, keys: jax.Array, cfg: TrainConfig):
 
 
 @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def train_step(state: TrainState, key: jax.Array, cfg: TrainConfig):
+def train_step(state: TrainState, key: jax.Array, cfg: TrainConfig,
+               bank=None):
     keys = batch_keys(key, cfg)
     (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, keys, cfg)
+        state.params, keys, cfg, bank)
     opt = make_optimizer(cfg)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -194,14 +213,16 @@ def train_step(state: TrainState, key: jax.Array, cfg: TrainConfig):
 
 def train(cfg: TrainConfig, checkpoint_dir: Optional[str] = None,
           log_every: int = 50, state: Optional[TrainState] = None,
-          print_fn=print) -> TrainState:
+          print_fn=print, bank=None) -> TrainState:
     rng = jax.random.key(cfg.seed)
     if state is None:
         state = init_state(cfg, rng)
+    if bank is not None:
+        bank = jnp.asarray(bank, jnp.float32)  # upload once, reuse per step
     t0 = time.perf_counter()
     for step in range(int(state.step), cfg.steps):
         key = jax.random.fold_in(rng, step)
-        state, aux = train_step(state, key, cfg)
+        state, aux = train_step(state, key, cfg, bank)
         if log_every and (step % log_every == 0 or step == cfg.steps - 1):
             aux = jax.device_get(aux)
             print_fn(
