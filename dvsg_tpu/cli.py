@@ -144,6 +144,10 @@ def stabilize_main(argv=None) -> int:
     p.add_argument("--border-crop", type=float, default=0.0,
                    help="crop fraction zoomed into the warp (hides "
                         "stabilized borders)")
+    p.add_argument("--strength", type=float, default=1.0,
+                   help="stabilization strength: 1 = full correction "
+                        "(default), 0 = passthrough, values between keep "
+                        "some of the original camera motion")
     p.add_argument("--resume-dir", default=None,
                    help="flush resume state here each chunk; restart "
                         "resumes at the last flushed chunk (frame-dir "
@@ -179,9 +183,13 @@ def stabilize_main(argv=None) -> int:
         print("WARNING: no --checkpoint given; using an untrained "
               "(identity) model", file=sys.stderr)
 
+    if not 0.0 <= args.strength <= 2.0:
+        print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+        return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
                           warp_impl=args.warp_impl,
-                          border_crop=args.border_crop)
+                          border_crop=args.border_crop,
+                          strength=args.strength)
     reader = video_io.VideoReader(args.input)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)

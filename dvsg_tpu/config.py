@@ -58,6 +58,9 @@ class StabilizeConfig:
     io_threads: int = 4           # host decode/encode thread pool size
     queue_depth: int = 3          # staging ring depth (decode↔compute↔encode)
     border_crop: float = 0.0      # optional stabilized-border crop fraction
+    strength: float = 1.0         # scale on the predicted stabilization:
+                                  # 0 = passthrough, 1 = full, (0,1) = partial
+                                  # (keeps more of the original framing)
 
     def replace(self, **kw) -> "StabilizeConfig":
         return dataclasses.replace(self, **kw)

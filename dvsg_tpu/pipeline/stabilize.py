@@ -94,6 +94,11 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     else:
         windows = build_windows(seq, t, mcfg.window)
         offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    if cfg.strength != 1.0:
+        # Partial stabilization: scale the predicted correction. Static
+        # config branch — strength is baked into the compiled program, and
+        # the guard/stripe bounds downstream see the scaled field.
+        offsets = offsets * jnp.float32(cfg.strength)
     # Fused upsample+warp+quantize on the ORIGINAL uint8 frames straight
     # from the coarse offsets: the Pallas path synthesizes sampling
     # coordinates in-kernel, so no dense (T, H, W, 2) grid is ever

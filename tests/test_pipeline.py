@@ -69,6 +69,56 @@ class TestStabilizeClip:
         np.testing.assert_allclose(np.asarray(halo[0]), np.asarray(halo[1]))
 
 
+class TestStrength:
+    @pytest.fixture(scope="class")
+    def moving_params(self):
+        """Params whose head actually predicts nonzero offsets: bump the
+        zero-init head bias so the untrained-identity property goes away."""
+        p = motion_cnn.init_params(MCFG, jax.random.key(0))
+
+        def bump(t):
+            leaves, treedef = jax.tree_util.tree_flatten(t)
+            leaves = [l + 0.35 if l.ndim == 1 and l.shape[0] == 2 else l
+                      for l in leaves]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        return bump(p)
+
+    def test_zero_strength_is_passthrough(self, moving_params, rng):
+        frames = (rng.random((5, 32, 40, 3)) * 255).astype(np.uint8)
+        out_full = Stabilizer(CFG, moving_params).stabilize_clip(frames)
+        out_zero = Stabilizer(CFG.replace(strength=0.0),
+                              moving_params).stabilize_clip(frames)
+        # Full strength must move pixels; zero strength must not.
+        assert np.abs(out_full.astype(int) - frames.astype(int)).max() > 2
+        assert np.abs(out_zero.astype(int) - frames.astype(int)).max() <= 1
+
+    def test_partial_strength_scales_offsets(self, moving_params, rng):
+        from dvsg_tpu.pipeline.stabilize import put_frames
+        frames = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+        halo = initial_halo(CFG, frames[0])
+        _, _, offs1 = stabilize_chunk(CFG, moving_params,
+                                      put_frames(frames), halo)
+        halo = initial_halo(CFG, frames[0])
+        _, _, offs_h = stabilize_chunk(CFG.replace(strength=0.5),
+                                       moving_params, put_frames(frames),
+                                       halo)
+        np.testing.assert_allclose(np.asarray(offs_h),
+                                   np.asarray(offs1) * 0.5, atol=1e-6)
+
+    def test_cli_rejects_bad_strength(self, tmp_path, rng):
+        import cv2
+        from dvsg_tpu import cli
+        d = tmp_path / "in"
+        d.mkdir()
+        cv2.imwrite(str(d / "f0.png"),
+                    (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+        rc = cli.stabilize_main([
+            "--input", str(d), "--output", str(tmp_path / "o"),
+            "--strength", "3.0", "--platform", "cpu"])
+        assert rc == 2
+
+
 class TestDeterminism:
     def test_two_runs_bitwise_equal(self, params, rng):
         """SURVEY.md §5.2: determinism gate against buffer-reuse races."""
