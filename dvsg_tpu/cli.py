@@ -296,6 +296,8 @@ def stabilize_batch_main(argv=None) -> int:
                    default="auto")
     p.add_argument("--no-mesh", action="store_true",
                    help="disable data-parallel sharding even with >1 device")
+    p.add_argument("--strength", type=float, default=1.0,
+                   help="stabilization strength (1 full, 0 passthrough)")
     p.add_argument("--platform", default=None)
     p.add_argument("--metrics-out", default=None)
     _add_model_args(p)
@@ -325,8 +327,12 @@ def stabilize_batch_main(argv=None) -> int:
         print("WARNING: no --checkpoint given; using an untrained "
               "(identity) model", file=sys.stderr)
 
+    if not 0.0 <= args.strength <= 2.0:
+        print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+        return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
-                          warp_impl=args.warp_impl)
+                          warp_impl=args.warp_impl,
+                          strength=args.strength)
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1 and len(args.inputs) % n_dev == 0:

@@ -219,6 +219,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="how long the device worker waits for "
                         "co-travellers after a request arrives")
+    p.add_argument("--strength", type=float, default=1.0,
+                   help="stabilization strength (1 full, 0 passthrough)")
     p.add_argument("--max-upload-mb", type=int, default=1024,
                    help="reject request bodies above this size with 413 "
                         "(each request thread buffers its body in RAM)")
@@ -246,8 +248,12 @@ def main(argv=None) -> int:
         print("WARNING: serving an untrained (identity) model",
               file=sys.stderr)
 
+    if not 0.0 <= args.strength <= 2.0:
+        print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+        return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
-                          warp_impl=args.warp_impl)
+                          warp_impl=args.warp_impl,
+                          strength=args.strength)
     engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
                              window_s=args.batch_window_ms / 1e3)
     srv = make_server(args.host, args.port, engine, desc,
