@@ -64,16 +64,35 @@ def _steadiness(frames: np.ndarray) -> float:
 
 def evaluate_synthetic(stab: Stabilizer, key: jax.Array, num_frames: int,
                        height: int, width: int,
-                       track_metrics: bool = False) -> Dict[str, float]:
+                       track_metrics: bool = False,
+                       still=None) -> Dict[str, float]:
     """Synthetic-jitter quality report (ground-truth PSNR + steadiness).
 
     ``track_metrics`` adds the literature's no-ground-truth trio —
     stability score, cropping ratio, distortion value — estimated by
     feature tracking (utils/stab_metrics.py); host-side cv2 work, so
     off by default in tight loops.
+
+    ``still`` (optional, (height, width, 3) f32 in [0,1]) replaces the
+    procedural base image, so quality is measurable on USER imagery with
+    the same exact ground truth — the evaluation side of the --data
+    fine-tuning story (train/data.py).
     """
-    frames_u8, still_u8, path = synthetic.synthetic_clip_u8(
-        key, num_frames, height, width)
+    if still is None:
+        frames_u8, still_u8, path = synthetic.synthetic_clip_u8(
+            key, num_frames, height, width)
+    else:
+        still = jnp.asarray(still, jnp.float32)
+        if still.shape != (height, width, 3):
+            raise ValueError(f"still must be ({height}, {width}, 3), "
+                             f"got {still.shape}")
+        path = synthetic.random_camera_path(
+            jax.random.fold_in(key, 1), num_frames)
+        frames = jax.vmap(
+            lambda p: synthetic.jitter_frame(still, p))(path)
+        to8 = lambda x: jnp.clip(jnp.round(x * 255.0), 0, 255
+                                 ).astype(jnp.uint8)
+        frames_u8, still_u8 = to8(frames), to8(still)
     frames_np = np.asarray(frames_u8)
 
     out = stab.stabilize_clip(frames_np)

@@ -38,6 +38,24 @@ def test_identity_model_metrics_sane():
     assert m["steadiness_in"] > 0
 
 
+def test_eval_on_user_still():
+    """evaluate_synthetic(still=...) must jitter the GIVEN image: with an
+    identity model, output == input, and the report is computed against
+    the user still's smoothed-path targets."""
+    import pytest
+    params = motion_cnn.init_params(MCFG, jax.random.key(0))
+    stab = Stabilizer(CFG, params)
+    rng = np.random.default_rng(5)
+    still = rng.random((48, 64, 3)).astype(np.float32)
+    m = eval_lib.evaluate_synthetic(stab, jax.random.key(3), 10, 48, 64,
+                                    still=still)
+    assert abs(m["psnr_vs_target"] - m["psnr_identity"]) < 0.5
+    assert m["steadiness_in"] > 0  # jitter actually moved the user image
+    with pytest.raises(ValueError):
+        eval_lib.evaluate_synthetic(stab, jax.random.key(3), 10, 48, 64,
+                                    still=still[:20])
+
+
 def test_oracle_offsets_beat_identity():
     """Feeding the ground-truth stabilizing warp through the pipeline's
     warp path must beat the identity baseline by a wide margin — validates
