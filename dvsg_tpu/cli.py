@@ -395,6 +395,12 @@ def eval_main(argv=None) -> int:
                         "trio (stability score, cropping ratio, "
                         "distortion value) — no ground truth needed, "
                         "host-side cv2 work")
+    p.add_argument("--stills", default=None, metavar="CLIP",
+                   help="evaluate on YOUR imagery: a video/frame dir whose "
+                        "frames become the base images (resized to --size, "
+                        "one per clip, cycled), jittered with the exact "
+                        "synthetic ground truth instead of procedural "
+                        "textures")
     _add_model_args(p)
     args = p.parse_args(argv)
     _resolve_preset(args)
@@ -422,11 +428,25 @@ def eval_main(argv=None) -> int:
                           warp_impl=args.warp_impl)
     stab = Stabilizer(cfg, params)
     h, w = args.size
+    stills = None
+    if args.stills:
+        import cv2
+        from dvsg_tpu.utils import video_io
+        with video_io.VideoReader(args.stills) as r:
+            frames = [f for f in r]
+        if not frames:
+            print(f"ERROR: no frames in {args.stills}", file=sys.stderr)
+            return 2
+        idx = np.linspace(0, len(frames) - 1, args.clips).round().astype(int)
+        stills = [cv2.resize(frames[j], (w, h),
+                             interpolation=cv2.INTER_AREA
+                             ).astype(np.float32) / 255.0 for j in idx]
     agg = {}
     for i in range(args.clips):
         m = evaluate_synthetic(stab, jax.random.key(args.seed + i),
                                args.frames, h, w,
-                               track_metrics=args.track_metrics)
+                               track_metrics=args.track_metrics,
+                               still=None if stills is None else stills[i])
         print(f"clip {i}: " + "  ".join(f"{k}={v:.3f}"
                                         for k, v in m.items()))
         for k, v in m.items():

@@ -56,6 +56,28 @@ def test_eval_on_user_still():
                                     still=still[:20])
 
 
+def test_eval_cli_with_stills(tmp_path):
+    """dvsg-eval --stills: user imagery drives the synthetic-jitter eval."""
+    import cv2
+    from dvsg_tpu import cli
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        cv2.imwrite(str(d / f"f{i}.png"),
+                    rng.integers(0, 256, (40, 56, 3), np.uint8))
+    out = tmp_path / "m.jsonl"
+    rc = cli.eval_main([
+        "--stills", str(d), "--clips", "2", "--frames", "6",
+        "--size", "32", "32", "--warp-impl", "lax",
+        "--window", "3", "--model-size", "32", "32", "--grid-size", "8",
+        "8", "--platform", "cpu", "--metrics-out", str(out)])
+    assert rc == 0 and out.exists()
+    rc2 = cli.eval_main(["--stills", str(tmp_path / "nope"),
+                         "--platform", "cpu"])
+    assert rc2 == 2
+
+
 def test_oracle_offsets_beat_identity():
     """Feeding the ground-truth stabilizing warp through the pipeline's
     warp path must beat the identity baseline by a wide margin — validates
