@@ -41,3 +41,8 @@ class TestExamples:
         r = _run("04_batch_data_parallel.py")
         assert r.returncode == 0, r.stderr[-2000:]
         assert "stabilized 8 clips" in r.stdout, r.stdout
+
+    def test_finetune_on_footage(self):
+        r = _run("05_finetune_on_footage.py", "--steps", "4")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "on held-out footage:" in r.stdout, r.stdout
