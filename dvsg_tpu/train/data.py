@@ -50,6 +50,18 @@ def _crop_resize(frame: np.ndarray, model_hw: Tuple[int, int],
     return crop
 
 
+def _clip_length(path: str) -> int:
+    """Frame count of a clip without decoding it.
+
+    Frame dirs and most containers report it directly; otherwise one
+    decode-free grab() pass counts the stream.
+    """
+    with video_io.VideoReader(path) as reader:
+        if reader.num_frames is not None:
+            return reader.num_frames
+        return reader.skip(1 << 30)
+
+
 def build_image_bank(path: str, model_hw: Tuple[int, int],
                      num_images: int = 256, seed: int = 0) -> np.ndarray:
     """Decode footage and return a (N, mh, mw, 3) f32 bank in [0, 1].
@@ -57,20 +69,42 @@ def build_image_bank(path: str, model_hw: Tuple[int, int],
     ``path`` is a video container or a frame directory (anything
     video_io.VideoReader accepts). Frames are sampled evenly across the
     clip; each bank image is an independent random crop, so a short clip
-    still yields a diverse bank.
+    still yields a diverse bank. Only the sampled frames are decoded
+    (decode-free skip between them), so memory stays O(bank), not
+    O(clip) — fine-tuning footage can be arbitrarily long.
     """
     mh, mw = model_hw
-    with video_io.VideoReader(path) as reader:
-        frames = [f for f in reader]
-    if not frames:
+    n = _clip_length(path)
+    if n == 0:
         raise ValueError(f"no frames decoded from {path!r}")
     rng = np.random.default_rng(seed)
     # Even coverage of the clip, wrapping when num_images > len(frames).
-    order = np.linspace(0, len(frames) - 1, num_images).round().astype(int)
+    order = np.linspace(0, n - 1, num_images).round().astype(int)
+    uniq, counts = np.unique(order, return_counts=True)  # sorted
     bank = np.empty((num_images, mh, mw, 3), np.float32)
-    for i, fi in enumerate(order):
-        crop = _crop_resize(frames[fi], (mh, mw), rng)
-        bank[i] = crop.astype(np.float32) / 255.0
+    i = 0
+    last = None
+    with video_io.VideoReader(path) as reader:
+        pos = 0
+        for fi, cnt in zip(uniq, counts):
+            if fi > pos:
+                pos += reader.skip(int(fi) - pos)
+                if pos != fi:
+                    break  # container metadata overcounted the stream
+            frame = reader.read()
+            if frame is None:
+                break
+            pos += 1
+            last = frame
+            for _ in range(int(cnt)):
+                bank[i] = _crop_resize(frame, (mh, mw), rng)
+                i += 1
+    if i == 0:
+        raise ValueError(f"no frames decoded from {path!r}")
+    while i < num_images:  # overcounted metadata: fresh crops, last frame
+        bank[i] = _crop_resize(last, (mh, mw), rng)
+        i += 1
+    bank /= 255.0
     return bank
 
 
