@@ -431,16 +431,23 @@ def eval_main(argv=None) -> int:
     stills = None
     if args.stills:
         import cv2
-        from dvsg_tpu.utils import video_io
-        with video_io.VideoReader(args.stills) as r:
-            frames = [f for f in r]
-        if not frames:
+        from dvsg_tpu.train.data import iter_sampled_frames
+        # Streaming sampler: only the --clips sampled frames are decoded
+        # (O(clips) memory, not O(clip) — long footage is the use case).
+        try:
+            stills = []
+            for frame, cnt in iter_sampled_frames(args.stills, args.clips):
+                still = cv2.resize(frame, (w, h),
+                                   interpolation=cv2.INTER_AREA
+                                   ).astype(np.float32) / 255.0
+                stills.extend([still] * cnt)
+        except ValueError:
+            stills = []
+        if not stills:
             print(f"ERROR: no frames in {args.stills}", file=sys.stderr)
             return 2
-        idx = np.linspace(0, len(frames) - 1, args.clips).round().astype(int)
-        stills = [cv2.resize(frames[j], (w, h),
-                             interpolation=cv2.INTER_AREA
-                             ).astype(np.float32) / 255.0 for j in idx]
+        while len(stills) < args.clips:  # overcounted container metadata
+            stills.append(stills[-1])
     agg = {}
     for i in range(args.clips):
         m = evaluate_synthetic(stab, jax.random.key(args.seed + i),

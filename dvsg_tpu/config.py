@@ -60,7 +60,14 @@ class StabilizeConfig:
     border_crop: float = 0.0      # optional stabilized-border crop fraction
     strength: float = 1.0         # scale on the predicted stabilization:
                                   # 0 = passthrough, 1 = full, (0,1) = partial
-                                  # (keeps more of the original framing)
+                                  # (keeps more of the original framing),
+                                  # (1, 2] = overcorrection (exaggerates the
+                                  # predicted camera-path smoothing)
+
+    def __post_init__(self):
+        if not 0.0 <= self.strength <= 2.0:
+            raise ValueError(
+                f"strength must be in [0, 2], got {self.strength}")
 
     def replace(self, **kw) -> "StabilizeConfig":
         return dataclasses.replace(self, **kw)

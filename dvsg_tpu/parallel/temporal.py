@@ -23,11 +23,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dvsg_tpu.config import StabilizeConfig
-from dvsg_tpu.models import motion_cnn
 from dvsg_tpu.ops import resize as resize_ops
 from dvsg_tpu.ops import warp as warp_ops
 from dvsg_tpu.parallel.mesh import DATA_AXIS
-from dvsg_tpu.pipeline.stabilize import build_windows, initial_halo
+from dvsg_tpu.pipeline.stabilize import initial_halo, predict_chunk_offsets
 
 
 def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
@@ -59,15 +58,7 @@ def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
     prev = jnp.where(idx == 0, chunk_halo, prev_tail)
 
     seq = jnp.concatenate([prev, small], axis=0)
-    if mcfg.arch == "corr":
-        feats = motion_cnn.encode_frames(mcfg, params, seq)
-        t_idx = jnp.arange(t_local)[:, None]
-        n_idx = jnp.arange(n)[None, :]
-        offsets = motion_cnn.offsets_from_feature_windows(
-            mcfg, params, feats[t_idx + n_idx])
-    else:
-        windows = build_windows(seq, t_local, n)
-        offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    offsets = predict_chunk_offsets(cfg, params, seq, t_local)
     out_u8 = warp_ops.warp_quantize_batch(
         frames_u8, warp_impl=cfg.warp_impl,
         offsets=offsets, border_crop=cfg.border_crop)

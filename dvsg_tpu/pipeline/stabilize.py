@@ -57,6 +57,37 @@ def quantize_frames(frames: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def predict_chunk_offsets(cfg: StabilizeConfig, params, seq: jax.Array,
+                          t: int) -> jax.Array:
+    """Coarse offsets for ``t`` output frames from the (t+window-1)-frame
+    model-resolution sequence.
+
+    The shared predict tail of EVERY chunk surface (the single-device
+    chunk below and the temporal-sharded body in parallel/temporal.py) —
+    kept in one place so per-config behavior like ``strength`` cannot
+    diverge between copies (a review found the temporal copy had).
+    """
+    mcfg = cfg.model
+    if mcfg.arch == "corr":
+        # Sliding windows share window-1 frames: encode each unique frame
+        # ONCE and assemble feature windows (window-fold encoder saving).
+        feats = motion_cnn.encode_frames(mcfg, params, seq)
+        t_idx = jnp.arange(t)[:, None]
+        n_idx = jnp.arange(mcfg.window)[None, :]
+        fwins = feats[t_idx + n_idx]               # (T, N, gh, gw, F)
+        offsets = motion_cnn.offsets_from_feature_windows(
+            mcfg, params, fwins)
+    else:
+        windows = build_windows(seq, t, mcfg.window)
+        offsets = motion_cnn.predict_offsets(mcfg, params, windows)
+    if cfg.strength != 1.0:
+        # Partial stabilization: scale the predicted correction. Static
+        # config branch — strength is baked into the compiled program, and
+        # the guard/stripe bounds downstream see the scaled field.
+        offsets = offsets * jnp.float32(cfg.strength)
+    return offsets
+
+
 def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
                          halo: jax.Array) -> Tuple[jax.Array, jax.Array,
                                                    jax.Array]:
@@ -82,23 +113,7 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     small = resize_ops.downscale_norm(frames_u8, mh, mw)
     seq = jnp.concatenate([halo, small], axis=0)   # (T+N-1, mh, mw, C)
 
-    if mcfg.arch == "corr":
-        # Sliding windows share window-1 frames: encode each unique frame
-        # ONCE and assemble feature windows (window-fold encoder saving).
-        feats = motion_cnn.encode_frames(mcfg, params, seq)
-        t_idx = jnp.arange(t)[:, None]
-        n_idx = jnp.arange(mcfg.window)[None, :]
-        fwins = feats[t_idx + n_idx]               # (T, N, gh, gw, F)
-        offsets = motion_cnn.offsets_from_feature_windows(
-            mcfg, params, fwins)
-    else:
-        windows = build_windows(seq, t, mcfg.window)
-        offsets = motion_cnn.predict_offsets(mcfg, params, windows)
-    if cfg.strength != 1.0:
-        # Partial stabilization: scale the predicted correction. Static
-        # config branch — strength is baked into the compiled program, and
-        # the guard/stripe bounds downstream see the scaled field.
-        offsets = offsets * jnp.float32(cfg.strength)
+    offsets = predict_chunk_offsets(cfg, params, seq, t)
     # Fused upsample+warp+quantize on the ORIGINAL uint8 frames straight
     # from the coarse offsets: the Pallas path synthesizes sampling
     # coordinates in-kernel, so no dense (T, H, W, 2) grid is ever
@@ -118,7 +133,7 @@ stabilize_chunk = functools.partial(
 
 
 def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
-                        clips_u8: np.ndarray, halos=None,
+                        clips_u8: np.ndarray,
                         fetch_clips: Optional[int] = None) -> np.ndarray:
     """Drive a vmapped/sharded chunk ``fn`` over an in-memory clip batch.
 
@@ -138,9 +153,10 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
     b, total = clips_u8.shape[:2]
     k = b if fetch_clips is None else fetch_clips
     t_chunk = cfg.chunk_frames
-    if halos is None:
-        halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
-                           for i in range(b)])
+    # Halos always start from the first frame here (pure input history);
+    # callers with mid-stream state use the streaming Stabilizer instead.
+    halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
+                       for i in range(b)])
     outs = []
     pending = None              # (device out, n_valid): fetch AFTER the
     for start in range(0, total, t_chunk):     # next chunk dispatches

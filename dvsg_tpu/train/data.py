@@ -27,20 +27,24 @@ from dvsg_tpu.utils import video_io
 
 def _crop_resize(frame: np.ndarray, model_hw: Tuple[int, int],
                  rng: np.random.Generator) -> np.ndarray:
-    """One random crop of a random scale, resized to model resolution."""
+    """One random model-aspect crop, resized to model resolution.
+
+    Crop scale is uniform between model size and the largest model-aspect
+    window that fits (small crops add texture-scale diversity). When the
+    source is below model resolution in some dimension, the largest
+    fitting model-aspect window is cropped at a random position along the
+    non-deficient axis and upscaled — the aspect ratio is never squashed
+    and crops keep positional diversity (an earlier version returned the
+    full squashed frame, collapsing the whole bank to identical images).
+    """
     import cv2
 
     mh, mw = model_hw
     h, w = frame.shape[:2]
-    # Crop size: uniform between model size and the largest same-aspect
-    # window that fits — small crops add texture-scale diversity.
-    max_scale = min(h / mh, w / mw)
-    if max_scale < 1.0:
-        # Source smaller than model res: upscale the whole frame.
-        ch, cw = h, w
-    else:
-        s = rng.uniform(1.0, max_scale)
-        ch, cw = int(round(mh * s)), int(round(mw * s))
+    max_s = min(h / mh, w / mw)
+    s = rng.uniform(min(1.0, max_s), max_s)
+    ch = min(h, max(1, int(round(mh * s))))
+    cw = min(w, max(1, int(round(mw * s))))
     y0 = rng.integers(0, h - ch + 1)
     x0 = rng.integers(0, w - cw + 1)
     crop = frame[y0:y0 + ch, x0:x0 + cw]
@@ -62,6 +66,36 @@ def _clip_length(path: str) -> int:
         return reader.skip(1 << 30)
 
 
+def iter_sampled_frames(path: str, num: int):
+    """Yield (frame, count) over evenly-sampled frames of a clip.
+
+    ``num`` sample positions are spread linspace-evenly over the clip and
+    deduplicated: each yielded uint8 RGB frame carries the number of
+    sample positions that landed on it (counts sum to ``num``, short only
+    if container metadata overcounted the stream). Only the sampled
+    frames are decoded — decode-free skip between them — so memory and
+    decode work stay O(num), not O(clip). Shared by the fine-tuning bank
+    below and ``dvsg-eval --stills``.
+    """
+    n = _clip_length(path)
+    if n == 0:
+        raise ValueError(f"no frames decoded from {path!r}")
+    order = np.linspace(0, n - 1, num).round().astype(int)
+    uniq, counts = np.unique(order, return_counts=True)  # sorted
+    with video_io.VideoReader(path) as reader:
+        pos = 0
+        for fi, cnt in zip(uniq, counts):
+            if fi > pos:
+                pos += reader.skip(int(fi) - pos)
+                if pos != fi:
+                    return  # container metadata overcounted the stream
+            frame = reader.read()
+            if frame is None:
+                return
+            pos += 1
+            yield frame, int(cnt)
+
+
 def build_image_bank(path: str, model_hw: Tuple[int, int],
                      num_images: int = 256, seed: int = 0) -> np.ndarray:
     """Decode footage and return a (N, mh, mw, 3) f32 bank in [0, 1].
@@ -74,31 +108,15 @@ def build_image_bank(path: str, model_hw: Tuple[int, int],
     O(clip) — fine-tuning footage can be arbitrarily long.
     """
     mh, mw = model_hw
-    n = _clip_length(path)
-    if n == 0:
-        raise ValueError(f"no frames decoded from {path!r}")
     rng = np.random.default_rng(seed)
-    # Even coverage of the clip, wrapping when num_images > len(frames).
-    order = np.linspace(0, n - 1, num_images).round().astype(int)
-    uniq, counts = np.unique(order, return_counts=True)  # sorted
     bank = np.empty((num_images, mh, mw, 3), np.float32)
     i = 0
     last = None
-    with video_io.VideoReader(path) as reader:
-        pos = 0
-        for fi, cnt in zip(uniq, counts):
-            if fi > pos:
-                pos += reader.skip(int(fi) - pos)
-                if pos != fi:
-                    break  # container metadata overcounted the stream
-            frame = reader.read()
-            if frame is None:
-                break
-            pos += 1
-            last = frame
-            for _ in range(int(cnt)):
-                bank[i] = _crop_resize(frame, (mh, mw), rng)
-                i += 1
+    for frame, cnt in iter_sampled_frames(path, num_images):
+        last = frame
+        for _ in range(cnt):
+            bank[i] = _crop_resize(frame, (mh, mw), rng)
+            i += 1
     if i == 0:
         raise ValueError(f"no frames decoded from {path!r}")
     while i < num_images:  # overcounted metadata: fresh crops, last frame

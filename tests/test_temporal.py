@@ -30,6 +30,24 @@ def test_matches_single_device(params, rng):
                                   single.stabilize_clip(frames))
 
 
+def test_strength_respected(params, rng):
+    """The temporal body shares predict_chunk_offsets with the
+    single-device chunk, so config knobs like strength cannot diverge
+    (a review found an earlier copy silently ignored it)."""
+    frames = (rng.random((16, 32, 40, 3)) * 255).astype(np.uint8)
+    mesh = mesh_lib.make_mesh()
+    cfg = CFG.replace(strength=0.5)
+    sharded = TemporalShardedStabilizer(cfg, params, mesh)
+    single = Stabilizer(cfg, params)
+    np.testing.assert_array_equal(sharded.stabilize_clip(frames),
+                                  single.stabilize_clip(frames))
+    # strength=0 is an exact passthrough on every surface.
+    passthrough = TemporalShardedStabilizer(
+        CFG.replace(strength=0.0), params, mesh)
+    np.testing.assert_array_equal(passthrough.stabilize_clip(frames),
+                                  frames)
+
+
 def test_partial_last_chunk(params, rng):
     frames = (rng.random((21, 32, 32, 3)) * 255).astype(np.uint8)
     mesh = mesh_lib.make_mesh()

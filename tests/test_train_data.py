@@ -124,3 +124,28 @@ class TestCLI:
         assert rc == 0
         from dvsg_tpu.utils import checkpoint as ckpt
         assert ckpt.latest_step(out) == 2
+
+
+class TestCropDiversity:
+    def test_small_source_keeps_diversity_and_aspect(self):
+        """A source below model res in ONE dimension must still yield
+        diverse, aspect-true crops (review: the old full-frame branch
+        squashed 426->256 and made every crop identical)."""
+        from dvsg_tpu.train.data import _crop_resize
+        rng = np.random.default_rng(0)
+        frame = np.zeros((24, 64, 3), np.uint8)
+        frame[:, ::2] = 255  # vertical stripes: squashing would alias
+        crops = [_crop_resize(frame, (32, 32), rng) for _ in range(8)]
+        assert all(c.shape == (32, 32, 3) for c in crops)
+        # Position diversity along the wide axis.
+        assert any(not np.array_equal(crops[0], c) for c in crops[1:])
+
+
+class TestConfigValidation:
+    def test_strength_validated_in_config(self):
+        from dvsg_tpu.config import StabilizeConfig
+        with pytest.raises(ValueError):
+            StabilizeConfig(strength=-3.0)
+        with pytest.raises(ValueError):
+            StabilizeConfig(strength=2.5)
+        assert StabilizeConfig(strength=1.5).strength == 1.5
