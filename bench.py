@@ -27,6 +27,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _fetch(x):
+    """Force the device chain: pull a scalar that depends on the result.
+
+    Stride on the native (uint8) dtype BEFORE upcasting: an eager
+    astype(f32) of a large channel-last array materializes a full f32
+    copy whose (8,128)-tiled layout pads the 3-wide channel axis to 128
+    lanes — a ~42x HBM expansion that OOMs at 1080p T=16 (15.8 GiB).
+    """
+    import jax.numpy as jnp
+    return float(jnp.sum(x.reshape(-1)[::4097].astype(jnp.float32)))
+
+
 def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2,
                    detail=None):
     """Steady-state device throughput: frames/sec over jitted chunks.
@@ -51,8 +63,7 @@ def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2,
     from dvsg_tpu.pipeline.stabilize import (initial_halo,
                                              stabilize_chunk_impl)
 
-    def fetch(x):
-        return float(jnp.sum(x.astype(jnp.float32).reshape(-1)[::4097]))
+    fetch = _fetch
 
     step = jax.jit(functools.partial(stabilize_chunk_impl, cfg))
     halo = initial_halo(cfg, frames_u8[0])
@@ -151,8 +162,7 @@ def _bench_warp_kernel(cfg, h, w, batch, n_iters=20):
     offsets = jax.vmap(lambda p: synthetic.theta_to_offsets(
         synthetic.jitter_theta(p), gh, gw))(path)
 
-    def fetch(x):
-        return float(jnp.sum(x.astype(jnp.float32).reshape(-1)[::4097]))
+    fetch = _fetch
 
     fn = jax.jit(lambda f, o: warp_ops.warp_quantize_batch(
         f, warp_impl=cfg.warp_impl, offsets=o))
@@ -359,8 +369,7 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=4, n_iters=40):
     from dvsg_tpu.pipeline.stabilize import (initial_halo,
                                              stabilize_chunk_impl)
 
-    def fetch(x):
-        return float(jnp.sum(x.astype(jnp.float32).reshape(-1)[::4097]))
+    fetch = _fetch
 
     frames = jnp.asarray(
         np.stack([_shaky_frames(t, h, w) for _ in range(n_clips)]))

@@ -22,9 +22,9 @@ _CKPT_DIR = os.path.join(os.path.dirname(__file__), "..", "checkpoints")
 @pytest.mark.parametrize("name", ["flagship.npz", "flagship_fast.npz"])
 @pytest.mark.parametrize("seed", [123, 7, 99])
 def test_flagship_beats_identity_baseline(name, seed):
-    """Measured (CPU, lax warp, 256x320, 16 frames; flagship = 20k-step
-    round-3 retrain, flagship_fast = 40k-step late-round-3 retrain):
-    flagship gains +21.3/+22.1/+19.0 dB at 52.0-52.3 dB vs target;
+    """Measured (CPU, lax warp, 256x320, 16 frames; flagship and
+    flagship_fast are both 40k-step late-round-3 retrains):
+    flagship gains +21.6/+22.3/+19.3 dB at 52.3-52.6 dB vs target;
     flagship_fast (the 128^2 single-block throughput default)
     +21.2/+21.8/+18.7 dB at 51.8-52.2 dB. Gates sit ~3 dB under the
     worst measured value so a semantic regression cannot hide inside a
