@@ -220,7 +220,11 @@ def main():
         mcfg = ModelConfig(dtype=dt)
         params = motion_cnn.init_params(mcfg, jax.random.key(0))
         model_name = "random-init-default"
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=16, warp_impl="auto")
+    # T=32 measured fastest in the 720p chunk-size sweep (1383 vs 1340
+    # fps at T=16, on-chip, 2026-08-18): longer chains amortize per-chunk
+    # CNN/halo overhead; output is chunk-invariant (tests/test_pipeline).
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=32 if on_tpu else 16,
+                          warp_impl="auto")
 
     rng = np.random.default_rng(0)
     frames = _shaky_frames(cfg.chunk_frames, h, w)
