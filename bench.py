@@ -256,7 +256,10 @@ def main():
         # iters: ~0.27 s window vs ~56 ms RTT).
         for name, (sh, sw, t, iters) in {
                 "480p": (480, 854, 16, 60),
-                "1080p": (1080, 1920, 8, 60),
+                # 1080p chunk-size probe (on-chip, 2026-08-18): T=16 685.5
+                # fps vs T=8 678.4 / T=32 669.9; fetch fits since the
+                # compact-coord fix (commit 08a4275).
+                "1080p": (1080, 1920, 16, 60),
                 "2160p": (2160, 3840, 2, 60)}.items():
             cfg_s = StabilizeConfig(model=mcfg, chunk_frames=t,
                                     warp_impl="auto")
