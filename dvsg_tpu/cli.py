@@ -111,6 +111,21 @@ def _resolve_preset(args):
     args.checkpoint = path
 
 
+def _auto_chunk(height: int, width: int, n_clips: int = 1) -> int:
+    """Resolution-keyed chunk_frames pick (config.auto_chunk_frames) with
+    the backend check and a one-line notice so runs are reproducible."""
+    import jax
+
+    from dvsg_tpu.config import auto_chunk_frames
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    t = auto_chunk_frames(height, width, n_clips=n_clips, on_tpu=on_tpu)
+    extra = f" x{n_clips} clips" if n_clips > 1 else ""
+    print(f"--chunk-frames not given; auto-picked T={t} for "
+          f"{width}x{height}{extra} ({'tpu' if on_tpu else 'cpu'} sweep)",
+          file=sys.stderr)
+    return t
+
+
 def _add_preset_arg(p):
     p.add_argument("--preset", choices=tuple(_PRESETS),
                    help="use a committed pretrained model: 'fast' "
@@ -131,8 +146,10 @@ def stabilize_main(argv=None) -> int:
                    help="checkpoint dir (from dvsg-train); identity model "
                         "if omitted")
     _add_preset_arg(p)
-    p.add_argument("--chunk-frames", type=int, default=16,
-                   help="frames per device step")
+    p.add_argument("--chunk-frames", type=int, default=None,
+                   help="frames per device step (default: measured-best "
+                        "for the input resolution, see "
+                        "config.auto_chunk_frames)")
     p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
                    default="auto")
     p.add_argument("--overlap", action="store_true",
@@ -186,11 +203,12 @@ def stabilize_main(argv=None) -> int:
     if not 0.0 <= args.strength <= 2.0:
         print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
         return 2
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
+    reader = video_io.VideoReader(args.input)
+    chunk = args.chunk_frames or _auto_chunk(reader.height, reader.width)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                           warp_impl=args.warp_impl,
                           border_crop=args.border_crop,
                           strength=args.strength)
-    reader = video_io.VideoReader(args.input)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)
     timer = StageTimer()
@@ -291,7 +309,9 @@ def stabilize_batch_main(argv=None) -> int:
     p.add_argument("--outputs", nargs="+", required=True)
     p.add_argument("--checkpoint", default=None)
     _add_preset_arg(p)
-    p.add_argument("--chunk-frames", type=int, default=16)
+    p.add_argument("--chunk-frames", type=int, default=None,
+                   help="per-clip frames per device step (default: "
+                        "measured-best for the resolution and clip count)")
     p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
                    default="auto")
     p.add_argument("--no-mesh", action="store_true",
@@ -330,9 +350,6 @@ def stabilize_batch_main(argv=None) -> int:
     if not 0.0 <= args.strength <= 2.0:
         print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
         return 2
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
-                          warp_impl=args.warp_impl,
-                          strength=args.strength)
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1 and len(args.inputs) % n_dev == 0:
@@ -341,6 +358,13 @@ def stabilize_batch_main(argv=None) -> int:
 
     readers = [video_io.VideoReader(p_) for p_ in args.inputs]
     h, w = readers[0].shape
+    # The auto pick keys on clips-per-device: that is how many chunks
+    # stack into one device program.
+    clips_per_dev = len(args.inputs) // (n_dev if mesh is not None else 1)
+    chunk = args.chunk_frames or _auto_chunk(h, w, n_clips=clips_per_dev)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
+                          warp_impl=args.warp_impl,
+                          strength=args.strength)
     writers = [video_io.VideoWriter(p_, w, h, readers[i].fps)
                for i, p_ in enumerate(args.outputs)]
     timer = StageTimer()
@@ -385,7 +409,9 @@ def eval_main(argv=None) -> int:
                    metavar=("H", "W"))
     p.add_argument("--clips", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--chunk-frames", type=int, default=16)
+    p.add_argument("--chunk-frames", type=int, default=None,
+                   help="frames per device step (default: measured-best "
+                        "for --size)")
     p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
                    default="auto")
     p.add_argument("--platform", default=None)
@@ -424,10 +450,11 @@ def eval_main(argv=None) -> int:
         print("WARNING: evaluating an untrained (identity) model",
               file=sys.stderr)
 
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
+    h, w = args.size
+    chunk = args.chunk_frames or _auto_chunk(h, w)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                           warp_impl=args.warp_impl)
     stab = Stabilizer(cfg, params)
-    h, w = args.size
     stills = None
     if args.stills:
         import cv2

@@ -73,6 +73,38 @@ class StabilizeConfig:
         return dataclasses.replace(self, **kw)
 
 
+def auto_chunk_frames(height: int, width: int, n_clips: int = 1,
+                      on_tpu: bool = True) -> int:
+    """Measured-best temporal chunk size T for a given output resolution.
+
+    Longer chunks amortize the per-chunk CNN forward and halo carry, until
+    the chunk's HBM footprint and result-fetch size start to dominate. The
+    bands below come from on-chip v5e sweeps (scripts/probe_chunk_sizes.py,
+    2026-08-18): 480p T=16 (2328 fps) / 720p T=32 (1425 vs 1340 at T=16) /
+    1080p T=16 (686 vs 678 at T=8) / 2160p T=2 (179 fps). For batched
+    multi-clip programs the per-clip chunk is scaled down so the combined
+    frames-in-flight stay in the same band (8-clip 720p measured fastest
+    at T=8: 1267 vs 1206 fps aggregate at T=4).
+
+    On CPU (tests, smoke runs) large chunks only slow compilation down;
+    the default T=16 is kept.
+    """
+    if not on_tpu:
+        return 16
+    px = height * width
+    if px <= 600_000:          # <= ~480p
+        t = 16
+    elif px <= 1_300_000:      # ~720p
+        t = 32
+    elif px <= 2_700_000:      # ~1080p
+        t = 16
+    else:                      # 4K and beyond
+        t = 2
+    if n_clips > 1:
+        t = max(2, t // max(1, n_clips // 4))
+    return t
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Self-supervised training configuration (synthetic-jitter fixtures)."""

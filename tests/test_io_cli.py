@@ -189,3 +189,48 @@ def test_no_args_defaults_to_fast_preset():
                                    model_size=(32, 32))
     cli._resolve_preset(custom)
     assert custom.checkpoint is None
+
+
+class TestAutoChunkFrames:
+    """Resolution-keyed chunk_frames auto-pick (on-chip sweep values,
+    scripts/probe_chunk_sizes.py)."""
+
+    def test_bands_match_measured_sweep(self):
+        from dvsg_tpu.config import auto_chunk_frames
+        assert auto_chunk_frames(480, 854) == 16
+        assert auto_chunk_frames(720, 1280) == 32
+        assert auto_chunk_frames(1080, 1920) == 16
+        assert auto_chunk_frames(2160, 3840) == 2
+
+    def test_cpu_keeps_default(self):
+        from dvsg_tpu.config import auto_chunk_frames
+        for h, w in [(480, 854), (720, 1280), (2160, 3840)]:
+            assert auto_chunk_frames(h, w, on_tpu=False) == 16
+
+    def test_batch_scales_down_per_clip_chunk(self):
+        from dvsg_tpu.config import auto_chunk_frames
+        # 8-clip 720p measured fastest at T=16 (1355 fps aggregate vs
+        # 1267 at T=8, 1206 at T=4, on-chip 2026-08-18).
+        assert auto_chunk_frames(720, 1280, n_clips=8) == 16
+        # never below 2, even for very large batches
+        assert auto_chunk_frames(2160, 3840, n_clips=64) == 2
+
+    def test_cli_auto_pick_runs(self, tmp_path, capsys):
+        """Omitting --chunk-frames picks automatically and still
+        stabilizes (CPU -> T=16)."""
+        frames, _, _ = synthetic.synthetic_clip_u8(
+            jax.random.key(5), 6, 48, 64)
+        src, dst = str(tmp_path / "in"), str(tmp_path / "out")
+        with video_io.VideoWriter(src, 64, 48) as w:
+            w.write_batch(np.asarray(frames))
+        rc = cli.stabilize_main([
+            "--input", src, "--output", dst,
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8",
+            "--warp-impl", "lax", "--platform", "cpu",
+        ])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "auto-picked T=16" in err
+        with video_io.VideoReader(dst) as r:
+            assert r.read_batch(32).shape[0] == 6
