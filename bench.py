@@ -260,7 +260,9 @@ def main():
                 # fps vs T=8 678.4 / T=32 669.9; fetch fits since the
                 # compact-coord fix (commit 08a4275).
                 "1080p": (1080, 1920, 16, 60),
-                "2160p": (2160, 3840, 2, 60)}.items():
+                # 2160p probe: T=4 190-203 fps vs T=2 179-185, T=8 180,
+                # T=6 168 (two confirmation runs, 2026-08-18).
+                "2160p": (2160, 3840, 4, 60)}.items():
             cfg_s = StabilizeConfig(model=mcfg, chunk_frames=t,
                                     warp_impl="auto")
             det = {}
@@ -282,7 +284,9 @@ def main():
         latency_ms = 1000.0 / lat_fps if lat_fps else None
         log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
 
-        cfg_mc = StabilizeConfig(model=mcfg, chunk_frames=4,
+        # Batch sweep (on-chip, 2026-08-18): per-clip T=16 1355 fps
+        # aggregate vs 1267 at T=8, 1206 at T=4; T=24/32 OOM HBM.
+        cfg_mc = StabilizeConfig(model=mcfg, chunk_frames=16,
                                  warp_impl="auto")
         fps_8clip = _bench_batched_clips(cfg_mc, params, h, w)
         log(f"batched 8-clip 720p (config 4, device side): "
@@ -364,7 +368,7 @@ def _shaky_frames(t, h, w):
     return np.asarray(frames_u8)
 
 
-def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=4, n_iters=40):
+def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=None, n_iters=20):
     """BASELINE.json config 4 device side: an 8-clip 720p batch through
     the vmapped multi-clip chunk program (the same program
     `stabilize-batch`, `pipeline/multiclip.py`, and the serving batch
@@ -378,6 +382,7 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=4, n_iters=40):
 
     fetch = _fetch
 
+    t = cfg.chunk_frames if t is None else t
     frames = jnp.asarray(
         np.stack([_shaky_frames(t, h, w) for _ in range(n_clips)]))
     halos = jnp.stack([initial_halo(cfg, np.asarray(frames[i, 0]))

@@ -80,11 +80,13 @@ def auto_chunk_frames(height: int, width: int, n_clips: int = 1,
     Longer chunks amortize the per-chunk CNN forward and halo carry, until
     the chunk's HBM footprint and result-fetch size start to dominate. The
     bands below come from on-chip v5e sweeps (scripts/probe_chunk_sizes.py,
-    2026-08-18): 480p T=16 (2328 fps) / 720p T=32 (1425 vs 1340 at T=16) /
-    1080p T=16 (686 vs 678 at T=8) / 2160p T=2 (179 fps). For batched
-    multi-clip programs the per-clip chunk is scaled down so the combined
+    2026-08-18): 480p T=16 (2678 vs 2532 at T=32) / 720p T=32 (1425 vs
+    1340 at T=16) / 1080p T=16 (686 vs 678 at T=8) / 2160p T=4 (190 vs
+    185 at T=2, 180 at T=8; confirmed twice). For batched multi-clip
+    programs the per-clip chunk is scaled down so the combined
     frames-in-flight stay in the same band (8-clip 720p measured fastest
-    at T=8: 1267 vs 1206 fps aggregate at T=4).
+    at T=16: 1355 vs 1267 at T=8, 1206 at T=4 fps aggregate; T=24+ OOMs
+    HBM).
 
     On CPU (tests, smoke runs) large chunks only slow compilation down;
     the default T=16 is kept.
@@ -99,7 +101,7 @@ def auto_chunk_frames(height: int, width: int, n_clips: int = 1,
     elif px <= 2_700_000:      # ~1080p
         t = 16
     else:                      # 4K and beyond
-        t = 2
+        t = 4
     if n_clips > 1:
         t = max(2, t // max(1, n_clips // 4))
     return t

@@ -200,7 +200,7 @@ class TestAutoChunkFrames:
         assert auto_chunk_frames(480, 854) == 16
         assert auto_chunk_frames(720, 1280) == 32
         assert auto_chunk_frames(1080, 1920) == 16
-        assert auto_chunk_frames(2160, 3840) == 2
+        assert auto_chunk_frames(2160, 3840) == 4
 
     def test_cpu_keeps_default(self):
         from dvsg_tpu.config import auto_chunk_frames
