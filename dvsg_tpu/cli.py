@@ -501,6 +501,72 @@ def eval_main(argv=None) -> int:
     return 0
 
 
+def export_main(argv=None) -> int:
+    """AOT-export the stabilization device program (jax.export) into a
+    self-contained .dvsgx artifact (weights baked in; no model code or
+    checkpoint needed at serving time — see dvsg_tpu/export.py)."""
+    p = argparse.ArgumentParser(
+        prog="dvsg-export",
+        description="Serialize the per-chunk stabilization program "
+                    "(StableHLO, weights baked in) for deployment.")
+    p.add_argument("--checkpoint", default=None)
+    _add_preset_arg(p)
+    p.add_argument("--output", required=True, help="artifact file (.dvsgx)")
+    p.add_argument("--size", type=int, nargs=2, required=True,
+                   metavar=("H", "W"),
+                   help="frame resolution the program is compiled for")
+    p.add_argument("--chunk-frames", type=int, default=None,
+                   help="frames per device step (default: measured-best "
+                        "for --size)")
+    p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
+                   default="auto")
+    p.add_argument("--for-platform", default=None, metavar="PLAT",
+                   help="lower for this platform instead of the current "
+                        "backend (e.g. 'tpu' to cross-export from a CPU "
+                        "host)")
+    p.add_argument("--platform", default=None,
+                   help="force the local jax platform (cpu/tpu)")
+    p.add_argument("--border-crop", type=float, default=0.0)
+    p.add_argument("--strength", type=float, default=1.0)
+    _add_model_args(p)
+    args = p.parse_args(argv)
+    _resolve_preset(args)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from dvsg_tpu import export as export_lib
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.models import motion_cnn
+
+    if args.checkpoint:
+        params, mcfg = _load_any_checkpoint(args.checkpoint)
+        mcfg = _apply_dtype(mcfg, args)
+    else:
+        mcfg = _model_cfg(args)
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+        print("WARNING: no --checkpoint given; exporting an untrained "
+              "(identity) model", file=sys.stderr)
+
+    h, w = args.size
+    chunk = args.chunk_frames or _auto_chunk(h, w)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
+                          warp_impl=args.warp_impl,
+                          border_crop=args.border_crop,
+                          strength=args.strength)
+    platforms = (args.for_platform,) if args.for_platform else None
+    exp = export_lib.export_chunk_program(cfg, params, h, w,
+                                          platforms=platforms)
+    export_lib.save_exported(exp, args.output, cfg,
+                             extra={"checkpoint": args.checkpoint})
+    import os as _os
+    print(f"exported {w}x{h} T={chunk} program for "
+          f"{list(exp.platforms)} -> {args.output} "
+          f"({_os.path.getsize(args.output) / 1e6:.1f} MB)")
+    return 0
+
+
 def _friendly_errors(fn):
     """Turn expected user errors into one-line messages (no tracebacks)."""
     import functools
@@ -522,12 +588,14 @@ stabilize_main = _friendly_errors(stabilize_main)
 stabilize_batch_main = _friendly_errors(stabilize_batch_main)
 eval_main = _friendly_errors(eval_main)
 train_main = _friendly_errors(train_main)
+export_main = _friendly_errors(export_main)
 
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: python -m dvsg_tpu.cli {stabilize|train|eval} [args]\n"
+        print("usage: python -m dvsg_tpu.cli "
+              "{stabilize|stabilize-batch|train|eval|export} [args]\n"
               "       see --help of each subcommand")
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
@@ -539,8 +607,10 @@ def main(argv=None) -> int:
         return train_main(rest)
     if cmd == "eval":
         return eval_main(rest)
+    if cmd == "export":
+        return export_main(rest)
     print(f"unknown command {cmd!r}; expected "
-          "stabilize|stabilize-batch|train|eval", file=sys.stderr)
+          "stabilize|stabilize-batch|train|eval|export", file=sys.stderr)
     return 2
 
 

@@ -1,0 +1,169 @@
+"""AOT export of the stabilization device program (``jax.export``).
+
+The reference has no deployment story beyond running its entry scripts
+(SURVEY.md §1 L7; reference mount empty — file:line unavailable). The
+TPU-native rebuild gets a real one: the whole per-chunk device program
+(matrix-form resize → CNN forward → fused warp+quantize) is serialized
+as a StableHLO artifact with the trained weights baked in as constants,
+so a serving host can run it with ``jax.export.deserialize`` alone — no
+model code, no checkpoint files, no Python-side config on the hot path.
+
+Artifact layout (single file)::
+
+    b"DVSGX1\\n" | u32 header_len | header JSON (utf-8) | exported bytes
+
+The JSON header records the pipeline config, input shapes/dtypes, the
+export platforms, and the artifact's calling convention, and is
+validated at load time. The exported callable is exactly
+``pipeline.stabilize.stabilize_chunk_impl`` closed over (cfg, params):
+
+    (frames_u8 (T, H, W, C), halo (window-1, mh, mw, C) f32)
+      -> (stabilized_u8 (T, H, W, C), new_halo, offsets (T, gh, gw, 2))
+
+Cross-platform: pass ``platforms=("tpu",)`` on a CPU host to lower for a
+TPU serving fleet (XLA's ahead-of-time path; the Pallas warp kernel
+serializes as a ``tpu_custom_call`` — its ABI is tied to the libtpu
+generation, so the header records the jax version and loaders should
+re-export on major upgrades; that caveat is jax.export's own custom-call
+stability contract).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dvsg_tpu.config import (StabilizeConfig, config_to_json,
+                             stabilize_config_from_dict)
+
+_MAGIC = b"DVSGX1\n"
+
+
+def _halo_shape(cfg: StabilizeConfig) -> Tuple[int, int, int, int]:
+    mh, mw = cfg.model.model_size
+    return (cfg.model.window - 1, mh, mw, cfg.model.channels)
+
+
+def export_chunk_program(cfg: StabilizeConfig, params, height: int,
+                         width: int,
+                         platforms: Optional[Sequence[str]] = None):
+    """Export the jitted chunk program with ``params`` baked in.
+
+    Returns a ``jax.export.Exported``. ``platforms`` defaults to the
+    current backend; pass e.g. ``("tpu",)`` to cross-lower from a CPU
+    host for TPU deployment.
+    """
+    import jax
+    from jax import export as jexport
+
+    from dvsg_tpu.ops import warp as warp_ops
+    from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
+
+    def fn(frames_u8, halo):
+        return stabilize_chunk_impl(cfg, params, frames_u8, halo)
+
+    frames_spec = jax.ShapeDtypeStruct(
+        (cfg.chunk_frames, height, width, cfg.model.channels), np.uint8)
+    halo_spec = jax.ShapeDtypeStruct(_halo_shape(cfg), np.float32)
+
+    plats = tuple(platforms) if platforms else None
+    disabled = ()
+    if warp_ops.resolve_impl(cfg.warp_impl) != "lax":
+        # The Pallas kernel lowers to a tpu_custom_call, which jax.export
+        # flags as non-guaranteed-stable; we accept that (the header
+        # records the jax version for re-export policies).
+        disabled = (jexport.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call"),)
+    return jexport.export(jax.jit(fn), platforms=plats,
+                          disabled_checks=list(disabled))(
+        frames_spec, halo_spec)
+
+
+def save_exported(exp, path: str, cfg: StabilizeConfig,
+                  extra: Optional[Dict[str, Any]] = None) -> None:
+    """Write the artifact file (magic | header | serialized program)."""
+    import jax
+
+    header = {
+        "format": "dvsgx",
+        "version": 1,
+        "jax_version": jax.__version__,
+        "platforms": list(exp.platforms),
+        "config": json.loads(config_to_json(cfg)),
+        "in_avals": [[list(a.shape), str(a.dtype)]
+                     for a in exp.in_avals],
+        "out_avals": [[list(a.shape), str(a.dtype)]
+                      for a in exp.out_avals],
+    }
+    if extra:
+        header.update(extra)
+    hdr = json.dumps(header, sort_keys=True).encode("utf-8")
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        f.write(blob)
+
+
+class ExportedStabilizer:
+    """A loaded artifact: the Stabilizer API without model code.
+
+    ``chunk`` is the raw exported step; ``stabilize_clip`` mirrors
+    ``pipeline.stabilize.Stabilizer.stabilize_clip`` (chunk loop, halo
+    carry, tail padding) for whole in-memory clips.
+    """
+
+    def __init__(self, exported, meta: Dict[str, Any]):
+        self._exported = exported
+        self.meta = meta
+        self.cfg = stabilize_config_from_dict(meta["config"])
+        (t, h, w, c), _ = meta["in_avals"][0]
+        self.chunk_frames, self.height, self.width, self.channels = \
+            t, h, w, c
+
+    def chunk(self, frames_u8, halo):
+        return self._exported.call(frames_u8, halo)
+
+    def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
+        from dvsg_tpu.pipeline.stabilize import initial_halo
+
+        total = frames_u8.shape[0]
+        if total == 0:
+            return frames_u8
+        if frames_u8.shape[1:] != (self.height, self.width, self.channels):
+            raise ValueError(
+                f"artifact was exported for frames "
+                f"{(self.height, self.width, self.channels)}, got "
+                f"{tuple(frames_u8.shape[1:])}")
+        halo = initial_halo(self.cfg, frames_u8[0])
+        t_chunk = self.chunk_frames
+        outs = []
+        for start in range(0, total, t_chunk):
+            chunk = frames_u8[start:start + t_chunk]
+            n_valid = chunk.shape[0]
+            if n_valid < t_chunk:
+                pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            out, halo, _ = self.chunk(chunk, halo)
+            outs.append(np.asarray(out)[:n_valid])
+        return np.concatenate(outs, axis=0)
+
+
+def load_exported(path: str) -> ExportedStabilizer:
+    """Read an artifact file and deserialize the program."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a dvsgx artifact "
+                             f"(bad magic {magic!r})")
+        (hdr_len,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hdr_len).decode("utf-8"))
+        blob = f.read()
+    exported = jexport.deserialize(blob)
+    return ExportedStabilizer(exported, meta)

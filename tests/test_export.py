@@ -1,0 +1,110 @@
+"""AOT export / deserialize tests (dvsg_tpu/export.py).
+
+The artifact must reproduce the live pipeline bit-for-bit: the exported
+program IS ``stabilize_chunk_impl`` closed over (cfg, params), so the
+loaded callable's output equals ``Stabilizer.stabilize_clip`` exactly.
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from dvsg_tpu import export as export_lib
+from dvsg_tpu.config import ModelConfig, StabilizeConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.pipeline.stabilize import Stabilizer, initial_halo
+from dvsg_tpu.train import synthetic
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    mcfg = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                       base_features=8, levels=2, blocks_per_level=1)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=4, warp_impl="lax")
+    params = motion_cnn.init_params(mcfg, jax.random.key(1))
+    frames, _, _ = synthetic.synthetic_clip_u8(jax.random.key(2), 10, 48, 64)
+    return cfg, params, np.asarray(frames)
+
+
+class TestExportRoundtrip:
+    def test_artifact_matches_live_pipeline(self, tmp_path, small_setup):
+        cfg, params, frames = small_setup
+        path = str(tmp_path / "model.dvsgx")
+        exp = export_lib.export_chunk_program(cfg, params, 48, 64)
+        export_lib.save_exported(exp, path, cfg)
+
+        loaded = export_lib.load_exported(path)
+        assert loaded.chunk_frames == 4
+        assert (loaded.height, loaded.width) == (48, 64)
+        out = loaded.stabilize_clip(frames)
+
+        ref = Stabilizer(cfg, params).stabilize_clip(frames)
+        np.testing.assert_array_equal(out, np.asarray(ref))
+        assert out.dtype == np.uint8
+
+    def test_chunk_call_matches_impl(self, tmp_path, small_setup):
+        cfg, params, frames = small_setup
+        from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
+        path = str(tmp_path / "m.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_chunk_program(cfg, params, 48, 64), path, cfg)
+        loaded = export_lib.load_exported(path)
+        halo = initial_halo(cfg, frames[0])
+        out, new_halo, offs = loaded.chunk(frames[:4], halo)
+        ref_out, ref_halo, ref_offs = stabilize_chunk_impl(
+            cfg, params, frames[:4], halo)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+        np.testing.assert_array_equal(np.asarray(new_halo),
+                                      np.asarray(ref_halo))
+        np.testing.assert_allclose(np.asarray(offs), np.asarray(ref_offs))
+
+    def test_header_metadata(self, tmp_path, small_setup):
+        cfg, params, _ = small_setup
+        path = str(tmp_path / "m.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_chunk_program(cfg, params, 48, 64), path, cfg,
+            extra={"checkpoint": "unit-test"})
+        loaded = export_lib.load_exported(path)
+        assert loaded.meta["format"] == "dvsgx"
+        assert loaded.meta["checkpoint"] == "unit-test"
+        assert loaded.cfg.chunk_frames == cfg.chunk_frames
+        assert loaded.cfg.model.window == cfg.model.window
+        assert loaded.meta["platforms"] == ["cpu"]
+
+    def test_wrong_resolution_rejected(self, tmp_path, small_setup):
+        cfg, params, _ = small_setup
+        path = str(tmp_path / "m.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_chunk_program(cfg, params, 48, 64), path, cfg)
+        loaded = export_lib.load_exported(path)
+        bad = np.zeros((4, 32, 32, 3), np.uint8)
+        with pytest.raises(ValueError, match="exported for frames"):
+            loaded.stabilize_clip(bad)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        path = str(tmp_path / "junk.dvsgx")
+        with open(path, "wb") as f:
+            f.write(b"not an artifact")
+        with pytest.raises(ValueError, match="not a dvsgx artifact"):
+            export_lib.load_exported(path)
+
+
+class TestExportCLI:
+    def test_cli_export_then_load(self, tmp_path):
+        from dvsg_tpu import cli
+        path = str(tmp_path / "fast.dvsgx")
+        rc = cli.export_main([
+            "--output", path, "--size", "48", "64",
+            "--chunk-frames", "4", "--warp-impl", "lax",
+            "--platform", "cpu",
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8",
+        ])
+        assert rc == 0
+        assert os.path.getsize(path) > 0
+        loaded = export_lib.load_exported(path)
+        frames = np.zeros((4, 48, 64, 3), np.uint8)
+        out = loaded.stabilize_clip(frames)
+        assert out.shape == frames.shape
