@@ -108,3 +108,25 @@ class TestExportCLI:
         frames = np.zeros((4, 48, 64, 3), np.uint8)
         out = loaded.stabilize_clip(frames)
         assert out.shape == frames.shape
+
+
+class TestCrossExport:
+    def test_tpu_artifact_from_cpu_host(self, tmp_path, small_setup):
+        """Cross-lowering for a TPU fleet from a CPU build host: the
+        Pallas warp kernel must serialize (tpu_custom_call) without TPU
+        hardware present. Execution parity is validated on-chip by
+        scripts/validate_export_tpu.py (can't run in the hermetic CPU
+        suite)."""
+        cfg, params, _ = small_setup
+        cfg = cfg.replace(warp_impl="pallas")
+        path = str(tmp_path / "tpu.dvsgx")
+        exp = export_lib.export_chunk_program(cfg, params, 48, 64,
+                                              platforms=("tpu",))
+        export_lib.save_exported(exp, path, cfg)
+        loaded = export_lib.load_exported(path)
+        assert loaded.meta["platforms"] == ["tpu"]
+        assert loaded.cfg.warp_impl == "pallas"
+        # the serialized program embeds the Mosaic kernel custom call
+        with open(path, "rb") as f:
+            blob = f.read()
+        assert b"tpu_custom_call" in blob
