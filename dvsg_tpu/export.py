@@ -82,6 +82,47 @@ def export_chunk_program(cfg: StabilizeConfig, params, height: int,
         frames_spec, halo_spec)
 
 
+def export_batch_program(cfg: StabilizeConfig, params, n_clips: int,
+                         height: int, width: int, mesh,
+                         platforms: Optional[Sequence[str]] = None):
+    """Export the mesh-sharded multi-clip chunk program (config 4/5).
+
+    The per-clip data-parallel program of ``parallel.dp`` — clips sharded
+    over the mesh's data axis, params baked in as (replicated) constants.
+    The artifact records the device count; deserializing requires a
+    process with at least that many devices (jax.export's sharded calling
+    convention).
+    """
+    import jax
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dvsg_tpu.ops import warp as warp_ops
+    from dvsg_tpu.parallel.dp import _stabilize_chunk_batch
+    from dvsg_tpu.parallel.mesh import DATA_AXIS
+
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    fn = jax.jit(
+        lambda frames, halos: _stabilize_chunk_batch(cfg, params, frames,
+                                                     halos),
+        in_shardings=(shard, shard),
+        out_shardings=(shard, shard, shard))
+
+    frames_spec = jax.ShapeDtypeStruct(
+        (n_clips, cfg.chunk_frames, height, width, cfg.model.channels),
+        np.uint8)
+    halos_spec = jax.ShapeDtypeStruct((n_clips,) + _halo_shape(cfg),
+                                      np.float32)
+    disabled = ()
+    if warp_ops.resolve_impl(cfg.warp_impl) != "lax":
+        disabled = (jexport.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call"),)
+    plats = tuple(platforms) if platforms else None
+    return jexport.export(fn, platforms=plats,
+                          disabled_checks=list(disabled))(
+        frames_spec, halos_spec)
+
+
 def save_exported(exp, path: str, cfg: StabilizeConfig,
                   extra: Optional[Dict[str, Any]] = None) -> None:
     """Write the artifact file (magic | header | serialized program)."""
@@ -97,6 +138,7 @@ def save_exported(exp, path: str, cfg: StabilizeConfig,
                      for a in exp.in_avals],
         "out_avals": [[list(a.shape), str(a.dtype)]
                       for a in exp.out_avals],
+        "nr_devices": exp.nr_devices,
     }
     if extra:
         header.update(extra)
@@ -121,16 +163,73 @@ class ExportedStabilizer:
         self._exported = exported
         self.meta = meta
         self.cfg = stabilize_config_from_dict(meta["config"])
-        (t, h, w, c), _ = meta["in_avals"][0]
-        self.chunk_frames, self.height, self.width, self.channels = \
-            t, h, w, c
+        shape, _ = meta["in_avals"][0]
+        self.batched = len(shape) == 5
+        if self.batched:
+            (self.n_clips, self.chunk_frames, self.height, self.width,
+             self.channels) = shape
+        else:
+            self.n_clips = None
+            self.chunk_frames, self.height, self.width, self.channels = \
+                shape
 
     def chunk(self, frames_u8, halo):
-        return self._exported.call(frames_u8, halo)
+        return self._call()(frames_u8, halo)
+
+    def _call(self):
+        """The callable for the exported program.
+
+        A sharded (batched) export must be invoked from a jit spanning
+        the same number of devices it was exported for; wrap it once in
+        a jit with the clip axis sharded over a data mesh (the same
+        shardings ``parallel.dp.make_sharded_chunk_fn`` uses)."""
+        if getattr(self, "_call_fn", None) is not None:
+            return self._call_fn
+        if not self.batched:
+            self._call_fn = self._exported.call
+            return self._call_fn
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dvsg_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        need = int(self.meta.get("nr_devices", 1))
+        if len(jax.devices()) < need:
+            raise ValueError(
+                f"batched artifact needs {need} devices; this process "
+                f"has {len(jax.devices())}")
+        mesh = make_mesh((need,))
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        self._call_fn = jax.jit(self._exported.call,
+                                in_shardings=(shard, shard),
+                                out_shardings=(shard, shard, shard))
+        return self._call_fn
+
+    def stabilize_clips(self, clips_u8: np.ndarray) -> np.ndarray:
+        """Batched artifacts: (B, T_total, H, W, C) uint8 → stabilized.
+
+        Mirrors ``parallel.dp.ShardedClipStabilizer.stabilize_clips``
+        (same drive_chunked_batch loop, so D2H pipelining and tail
+        padding behave identically)."""
+        from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
+
+        if not self.batched:
+            raise ValueError("single-clip artifact: use stabilize_clip")
+        if clips_u8.shape[0] != self.n_clips:
+            raise ValueError(
+                f"artifact was exported for {self.n_clips} clips, got "
+                f"{clips_u8.shape[0]}")
+        return drive_chunked_batch(
+            lambda _params, frames, halos: self.chunk(frames, halos),
+            None, self.cfg, clips_u8)
 
     def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
         from dvsg_tpu.pipeline.stabilize import initial_halo
 
+        if self.batched:
+            raise ValueError(
+                f"batched artifact ({self.n_clips} clips): use "
+                "stabilize_clips")
         total = frames_u8.shape[0]
         if total == 0:
             return frames_u8

@@ -130,3 +130,49 @@ class TestCrossExport:
         with open(path, "rb") as f:
             blob = f.read()
         assert b"tpu_custom_call" in blob
+
+
+class TestBatchExport:
+    def test_sharded_batch_artifact_matches_dp(self, tmp_path, small_setup):
+        """The mesh-sharded multi-clip program (config 4/5) exports and
+        reproduces ShardedClipStabilizer exactly on the virtual 8-device
+        mesh."""
+        from dvsg_tpu.parallel import mesh as mesh_lib
+        from dvsg_tpu.parallel.dp import ShardedClipStabilizer
+
+        cfg, params, _ = small_setup
+        mesh = mesh_lib.make_mesh()
+        n_dev = mesh.devices.size
+        assert n_dev == 8  # conftest virtual mesh
+        clips = np.stack([
+            np.asarray(synthetic.synthetic_clip_u8(
+                jax.random.key(10 + i), 6, 48, 64)[0])
+            for i in range(n_dev)])
+
+        path = str(tmp_path / "batch.dvsgx")
+        exp = export_lib.export_batch_program(cfg, params, n_dev, 48, 64,
+                                              mesh)
+        export_lib.save_exported(exp, path, cfg)
+        loaded = export_lib.load_exported(path)
+        assert loaded.batched and loaded.n_clips == n_dev
+        assert loaded.meta["nr_devices"] == n_dev
+
+        out = loaded.stabilize_clips(clips)
+        ref = ShardedClipStabilizer(cfg, params, mesh).stabilize_clips(
+            clips)
+        np.testing.assert_array_equal(out, np.asarray(ref))
+
+    def test_batch_artifact_rejects_single_clip_api(self, tmp_path,
+                                                    small_setup):
+        from dvsg_tpu.parallel import mesh as mesh_lib
+        cfg, params, _ = small_setup
+        mesh = mesh_lib.make_mesh()
+        path = str(tmp_path / "b.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_batch_program(cfg, params, 8, 48, 64, mesh),
+            path, cfg)
+        loaded = export_lib.load_exported(path)
+        with pytest.raises(ValueError, match="batched artifact"):
+            loaded.stabilize_clip(np.zeros((4, 48, 64, 3), np.uint8))
+        with pytest.raises(ValueError, match="exported for 8 clips"):
+            loaded.stabilize_clips(np.zeros((4, 6, 48, 64, 3), np.uint8))
