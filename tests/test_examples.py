@@ -46,3 +46,8 @@ class TestExamples:
         r = _run("05_finetune_on_footage.py", "--steps", "4")
         assert r.returncode == 0, r.stderr[-2000:]
         assert "on held-out footage:" in r.stdout, r.stdout
+
+    def test_export_deploy(self):
+        r = _run("06_export_deploy.py", "--frames", "8")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "stabilized 8 frames from the artifact" in r.stdout, r.stdout
