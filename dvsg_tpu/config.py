@@ -81,7 +81,8 @@ def auto_chunk_frames(height: int, width: int, n_clips: int = 1,
     the chunk's HBM footprint and result-fetch size start to dominate. The
     bands below come from on-chip v5e sweeps (scripts/probe_chunk_sizes.py,
     2026-08-18): 480p T=16 (2678 vs 2532 at T=32) / 720p T=32 (1425 vs
-    1340 at T=16) / 1080p T=16 (686 vs 678 at T=8) / 2160p T=4 (190 vs
+    1340 at T=16, 1388 at T=48; T=64 OOMs SMEM — the scalar-prefetch
+    tables scale with T) / 1080p T=16 (686 vs 678 at T=8) / 2160p T=4 (190 vs
     185 at T=2, 180 at T=8; confirmed twice). For batched multi-clip
     programs the per-clip chunk is scaled down so the combined
     frames-in-flight stay in the same band (8-clip 720p measured fastest
