@@ -176,3 +176,34 @@ class TestBatchExport:
             loaded.stabilize_clip(np.zeros((4, 48, 64, 3), np.uint8))
         with pytest.raises(ValueError, match="exported for 8 clips"):
             loaded.stabilize_clips(np.zeros((4, 6, 48, 64, 3), np.uint8))
+
+    def test_batch_artifact_with_production_kernel_interpret(
+            self, tmp_path, small_setup):
+        """The deployed-program-is-the-tested-one rule (VERDICT r2 item
+        2) extended to the export path: the sharded artifact built with
+        the PRODUCTION Pallas program (interpret mode on CPU) must match
+        the lax-path artifact exactly after the u8 quantize (<=1 LSB is
+        the kernel contract; on these smooth grids interpret==lax
+        bit-for-bit through the quantize)."""
+        from dvsg_tpu.parallel import mesh as mesh_lib
+
+        cfg, params, _ = small_setup
+        mesh = mesh_lib.make_mesh()
+        clips = np.stack([
+            np.asarray(synthetic.synthetic_clip_u8(
+                jax.random.key(20 + i), 6, 48, 64)[0])
+            for i in range(mesh.devices.size)])
+
+        outs = {}
+        for impl in ("lax", "pallas_interpret"):
+            path = str(tmp_path / f"{impl}.dvsgx")
+            export_lib.save_exported(
+                export_lib.export_batch_program(
+                    cfg.replace(warp_impl=impl), params,
+                    clips.shape[0], 48, 64, mesh),
+                path, cfg.replace(warp_impl=impl))
+            outs[impl] = export_lib.load_exported(path).stabilize_clips(
+                clips)
+        diff = np.max(np.abs(outs["lax"].astype(int)
+                             - outs["pallas_interpret"].astype(int)))
+        assert diff <= 1, f"kernel-vs-lax artifact diff {diff} LSB"
