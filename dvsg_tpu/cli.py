@@ -146,6 +146,10 @@ def stabilize_main(argv=None) -> int:
                    help="checkpoint dir (from dvsg-train); identity model "
                         "if omitted")
     _add_preset_arg(p)
+    p.add_argument("--artifact", default=None, metavar="DVSGX",
+                   help="run from a dvsg-export artifact instead of a "
+                        "checkpoint (config/weights/chunk size are baked "
+                        "in; input resolution must match the export)")
     p.add_argument("--chunk-frames", type=int, default=None,
                    help="frames per device step (default: measured-best "
                         "for the input resolution, see "
@@ -174,7 +178,12 @@ def stabilize_main(argv=None) -> int:
                         "loop into this dir and print an op summary")
     _add_model_args(p)
     args = p.parse_args(argv)
-    _resolve_preset(args)
+    if args.artifact and (args.checkpoint or args.preset):
+        print("ERROR: --artifact already contains the weights; drop "
+              "--checkpoint/--preset", file=sys.stderr)
+        return 2
+    if not args.artifact:
+        _resolve_preset(args)
     if args.overlap and args.resume_dir:
         print("ERROR: --overlap has no resume support; drop --overlap for "
               "a resumable run (or --resume-dir for an overlapped one)",
@@ -191,28 +200,46 @@ def stabilize_main(argv=None) -> int:
     from dvsg_tpu.utils import profiling, video_io
     from dvsg_tpu.utils.metrics import StageTimer, write_metrics_jsonl
 
-    if args.checkpoint:
-        params, mcfg = _load_any_checkpoint(args.checkpoint)
-        mcfg = _apply_dtype(mcfg, args)
-    else:
-        mcfg = _model_cfg(args)
-        params = motion_cnn.init_params(mcfg, jax.random.key(0))
-        print("WARNING: no --checkpoint given; using an untrained "
-              "(identity) model", file=sys.stderr)
-
-    if not 0.0 <= args.strength <= 2.0:
-        print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
-        return 2
     reader = video_io.VideoReader(args.input)
-    chunk = args.chunk_frames or _auto_chunk(reader.height, reader.width)
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                          warp_impl=args.warp_impl,
-                          border_crop=args.border_crop,
-                          strength=args.strength)
+    if args.artifact:
+        from dvsg_tpu import export as export_lib
+        loaded = export_lib.load_exported(args.artifact)
+        if (reader.height, reader.width) != (loaded.height, loaded.width):
+            print(f"ERROR: artifact was exported for "
+                  f"{loaded.width}x{loaded.height}; input is "
+                  f"{reader.width}x{reader.height} (re-export with "
+                  "--size, or stabilize from a checkpoint)",
+                  file=sys.stderr)
+            reader.close()
+            return 2
+        cfg = loaded.cfg
+        stab = loaded.engine()
+        print(f"artifact {args.artifact}: T={cfg.chunk_frames}, "
+              f"warp={cfg.warp_impl}, strength={cfg.strength} (baked at "
+              "export)", file=sys.stderr)
+    else:
+        if args.checkpoint:
+            params, mcfg = _load_any_checkpoint(args.checkpoint)
+            mcfg = _apply_dtype(mcfg, args)
+        else:
+            mcfg = _model_cfg(args)
+            params = motion_cnn.init_params(mcfg, jax.random.key(0))
+            print("WARNING: no --checkpoint given; using an untrained "
+                  "(identity) model", file=sys.stderr)
+
+        if not 0.0 <= args.strength <= 2.0:
+            print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+            return 2
+        chunk = args.chunk_frames or _auto_chunk(reader.height,
+                                                 reader.width)
+        cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
+                              warp_impl=args.warp_impl,
+                              border_crop=args.border_crop,
+                              strength=args.strength)
+        stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)
     timer = StageTimer()
-    stab = Stabilizer(cfg, params)
     t0 = time.perf_counter()
     with profiling.trace(args.profile_dir):
         if args.overlap:

@@ -205,6 +205,28 @@ class ExportedStabilizer:
                                 out_shardings=(shard, shard, shard))
         return self._call_fn
 
+    def engine(self):
+        """A ``pipeline.Stabilizer`` whose device step is the artifact's
+        program: every streaming driver (sync with resume, overlapped)
+        works unchanged against it. Single-clip artifacts only; the input
+        resolution must match the exported one (the fixed-shape program
+        rejects anything else)."""
+        from dvsg_tpu.pipeline.stabilize import Stabilizer
+
+        if self.batched:
+            raise ValueError("batched artifact: engine() needs a "
+                             "single-clip export")
+        loaded = self
+
+        class _ArtifactStabilizer(Stabilizer):
+            def __init__(self):
+                super().__init__(loaded.cfg, params=None)
+
+            def _chunk(self, dev_chunk, halo):
+                return loaded.chunk(dev_chunk, halo)
+
+        return _ArtifactStabilizer()
+
     def stabilize_clips(self, clips_u8: np.ndarray) -> np.ndarray:
         """Batched artifacts: (B, T_total, H, W, C) uint8 → stabilized.
 

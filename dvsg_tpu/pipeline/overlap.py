@@ -25,8 +25,7 @@ from typing import Optional
 import numpy as np
 
 from dvsg_tpu.pipeline.stabilize import (Stabilizer, fetch_frames,
-                                         initial_halo, put_frames,
-                                         stabilize_chunk)
+                                         initial_halo, put_frames)
 from dvsg_tpu.utils import video_io
 from dvsg_tpu.utils.metrics import StageTimer
 
@@ -109,8 +108,7 @@ def stabilize_stream_overlapped(stab: Stabilizer,
             pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
         with timer.stage("dispatch"):
-            out_dev, halo, _ = stabilize_chunk(
-                cfg, stab.params, put_frames(chunk), halo)
+            out_dev, halo, _ = stab._chunk(put_frames(chunk), halo)
         # Fetch the PREVIOUS chunk only now — its compute overlapped with
         # this chunk's decode and dispatch.
         if pending is not None:

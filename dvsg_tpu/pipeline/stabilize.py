@@ -229,6 +229,13 @@ class Stabilizer:
         self.cfg = cfg
         self.params = params
 
+    def _chunk(self, dev_chunk, halo):
+        """One device step. The single dispatch point for every driver
+        (clip, sync stream, overlapped stream): subclasses that swap the
+        program — e.g. export.ExportedStabilizer.engine()'s
+        artifact-backed engine — override ONLY this."""
+        return stabilize_chunk(self.cfg, self.params, dev_chunk, halo)
+
     def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
         """frames_u8 (T, H, W, C) uint8 → stabilized (T, H, W, C) uint8."""
         total = frames_u8.shape[0]
@@ -243,8 +250,7 @@ class Stabilizer:
             if n_valid < t_chunk:  # pad to the static chunk shape
                 pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            out, halo, _ = stabilize_chunk(
-                self.cfg, self.params, put_frames(chunk), halo)
+            out, halo, _ = self._chunk(put_frames(chunk), halo)
             outs.append(fetch_frames(out[:n_valid]))
         return np.concatenate(outs, axis=0)
 
@@ -296,8 +302,7 @@ class Stabilizer:
             with timer.stage("h2d"):
                 dev_chunk = put_frames(chunk)
             with timer.stage("compute"):
-                out, halo, _ = stabilize_chunk(
-                    self.cfg, self.params, dev_chunk, halo)
+                out, halo, _ = self._chunk(dev_chunk, halo)
                 out.block_until_ready()
             with timer.stage("d2h"):
                 host_out = fetch_frames(out[:n_valid])

@@ -207,3 +207,85 @@ class TestBatchExport:
         diff = np.max(np.abs(outs["lax"].astype(int)
                              - outs["pallas_interpret"].astype(int)))
         assert diff <= 1, f"kernel-vs-lax artifact diff {diff} LSB"
+
+
+class TestArtifactCLI:
+    """`dvsg-stabilize --artifact model.dvsgx`: the artifact rides the
+    full streaming driver (engine() subclass) and matches the
+    checkpoint-driven run byte-for-byte."""
+
+    @pytest.fixture()
+    def clip_dir(self, tmp_path):
+        from dvsg_tpu.utils import video_io
+        frames, _, _ = synthetic.synthetic_clip_u8(
+            jax.random.key(9), 10, 48, 64)
+        src = str(tmp_path / "in")
+        with video_io.VideoWriter(src, 64, 48) as w:
+            w.write_batch(np.asarray(frames))
+        return src
+
+    def _export(self, tmp_path):
+        from dvsg_tpu import cli
+        path = str(tmp_path / "m.dvsgx")
+        rc = cli.export_main([
+            "--output", path, "--size", "48", "64",
+            "--chunk-frames", "4", "--warp-impl", "lax",
+            "--platform", "cpu",
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8",
+        ])
+        assert rc == 0
+        return path
+
+    def test_artifact_stream_matches_checkpoint_free_run(self, tmp_path,
+                                                         clip_dir):
+        from dvsg_tpu import cli
+        from dvsg_tpu.utils import video_io
+        art = self._export(tmp_path)
+        d_art = str(tmp_path / "out_art")
+        rc = cli.stabilize_main([
+            "--input", clip_dir, "--output", d_art,
+            "--artifact", art, "--platform", "cpu",
+        ])
+        assert rc == 0
+        # identical untrained arch, same seed -> same output as the
+        # config-flag path
+        d_ckpt = str(tmp_path / "out_ckpt")
+        rc = cli.stabilize_main([
+            "--input", clip_dir, "--output", d_ckpt,
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8", "--chunk-frames", "4",
+            "--warp-impl", "lax", "--platform", "cpu",
+        ])
+        assert rc == 0
+        with video_io.VideoReader(d_art) as r:
+            a = r.read_batch(32)
+        with video_io.VideoReader(d_ckpt) as r:
+            b = r.read_batch(32)
+        np.testing.assert_array_equal(a, b)
+
+    def test_artifact_resolution_mismatch_rejected(self, tmp_path,
+                                                   clip_dir, capsys):
+        from dvsg_tpu import cli
+        from dvsg_tpu.utils import video_io
+        frames = np.zeros((4, 32, 32, 3), np.uint8)
+        small = str(tmp_path / "small_in")
+        with video_io.VideoWriter(small, 32, 32) as w:
+            w.write_batch(frames)
+        art = self._export(tmp_path)
+        rc = cli.stabilize_main([
+            "--input", small, "--output", str(tmp_path / "o"),
+            "--artifact", art, "--platform", "cpu",
+        ])
+        assert rc == 2
+        assert "exported for 64x48" in capsys.readouterr().err
+
+    def test_artifact_conflicts_with_preset(self, tmp_path, clip_dir,
+                                            capsys):
+        from dvsg_tpu import cli
+        rc = cli.stabilize_main([
+            "--input", clip_dir, "--output", str(tmp_path / "o"),
+            "--artifact", "x.dvsgx", "--preset", "fast",
+        ])
+        assert rc == 2
+        assert "already contains the weights" in capsys.readouterr().err
