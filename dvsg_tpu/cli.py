@@ -114,16 +114,25 @@ def _resolve_preset(args):
 def _auto_chunk(height: int, width: int, n_clips: int = 1) -> int:
     """Resolution-keyed chunk_frames pick (config.auto_chunk_frames) with
     the backend check and a one-line notice so runs are reproducible."""
-    import jax
-
     from dvsg_tpu.config import auto_chunk_frames
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from dvsg_tpu.ops.warp import _on_tpu
+    on_tpu = _on_tpu()
     t = auto_chunk_frames(height, width, n_clips=n_clips, on_tpu=on_tpu)
     extra = f" x{n_clips} clips" if n_clips > 1 else ""
     print(f"--chunk-frames not given; auto-picked T={t} for "
           f"{width}x{height}{extra} ({'tpu' if on_tpu else 'cpu'} sweep)",
           file=sys.stderr)
     return t
+
+
+def _bad_strength(strength: float) -> bool:
+    """One shared pre-flight --strength check (the range lives in
+    StabilizeConfig.__post_init__; this just fails fast with a clean
+    CLI message before any checkpoint/device work)."""
+    if 0.0 <= strength <= 2.0:
+        return False
+    print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+    return True
 
 
 def _add_preset_arg(p):
@@ -227,8 +236,7 @@ def stabilize_main(argv=None) -> int:
             print("WARNING: no --checkpoint given; using an untrained "
                   "(identity) model", file=sys.stderr)
 
-        if not 0.0 <= args.strength <= 2.0:
-            print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+        if _bad_strength(args.strength):
             return 2
         chunk = args.chunk_frames or _auto_chunk(reader.height,
                                                  reader.width)
@@ -374,8 +382,7 @@ def stabilize_batch_main(argv=None) -> int:
         print("WARNING: no --checkpoint given; using an untrained "
               "(identity) model", file=sys.stderr)
 
-    if not 0.0 <= args.strength <= 2.0:
-        print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+    if _bad_strength(args.strength):
         return 2
     n_dev = len(jax.devices())
     mesh = None
@@ -384,25 +391,35 @@ def stabilize_batch_main(argv=None) -> int:
         print(f"per-clip DP over {n_dev} devices")
 
     readers = [video_io.VideoReader(p_) for p_ in args.inputs]
-    h, w = readers[0].shape
-    # The auto pick keys on clips-per-device: that is how many chunks
-    # stack into one device program.
-    clips_per_dev = len(args.inputs) // (n_dev if mesh is not None else 1)
-    chunk = args.chunk_frames or _auto_chunk(h, w, n_clips=clips_per_dev)
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                          warp_impl=args.warp_impl,
-                          strength=args.strength)
-    writers = [video_io.VideoWriter(p_, w, h, readers[i].fps)
-               for i, p_ in enumerate(args.outputs)]
-    timer = StageTimer()
-    t0 = time.perf_counter()
-    result = stabilize_multi(cfg, params, readers, writers, mesh=mesh,
-                             timer=timer)
-    wall = time.perf_counter() - t0
-    for r in readers:
-        r.close()
-    for w_ in writers:
-        w_.close()
+    writers = []
+    try:
+        h, w = readers[0].shape
+        # The auto pick keys on clips-per-device: that is how many chunks
+        # stack into one device program.
+        clips_per_dev = len(args.inputs) // (n_dev if mesh is not None
+                                             else 1)
+        chunk = args.chunk_frames or _auto_chunk(h, w,
+                                                 n_clips=clips_per_dev)
+        cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
+                              warp_impl=args.warp_impl,
+                              strength=args.strength)
+        writers = [video_io.VideoWriter(p_, w, h, readers[i].fps)
+                   for i, p_ in enumerate(args.outputs)]
+        timer = StageTimer()
+        t0 = time.perf_counter()
+        result = stabilize_multi(cfg, params, readers, writers, mesh=mesh,
+                                 timer=timer)
+        wall = time.perf_counter() - t0
+    finally:
+        # Close even when stabilize_multi raises (device-step failure /
+        # all clips failed): stabilize_multi has already joined its
+        # encode workers, so closing here finalizes the partial output
+        # containers — the written[] resume story depends on readable
+        # partial outputs.
+        for r in readers:
+            r.close()
+        for w_ in writers:
+            w_.close()
     written = result.frames_written
     total = sum(written)
     fps = total / wall if wall else 0.0
@@ -583,6 +600,10 @@ def export_main(argv=None) -> int:
                           border_crop=args.border_crop,
                           strength=args.strength)
     platforms = (args.for_platform,) if args.for_platform else None
+    # Resolve warp_impl="auto" against the TARGET platform, not the
+    # build host: --for-platform tpu from a CPU box must bake the Pallas
+    # kernel (the header records the resolved impl).
+    cfg = export_lib.resolve_cfg_platforms(cfg, platforms)
     exp = export_lib.export_chunk_program(cfg, params, h, w,
                                           platforms=platforms)
     export_lib.save_exported(exp, args.output, cfg,

@@ -68,6 +68,16 @@ class StabilizeConfig:
         if not 0.0 <= self.strength <= 2.0:
             raise ValueError(
                 f"strength must be in [0, 2], got {self.strength}")
+        # border_crop >= 0.5 flips the sign of the identity-grid scale
+        # (1 - 2*crop, ops/grid.py): x would DECREASE with pixel index,
+        # which inverts the per-block bounds the Pallas coverage guard
+        # derives from the corner control points — it could report ok
+        # while the kernel samples outside its stripe window. Reject at
+        # the config boundary (the kernel entry re-checks for direct
+        # library callers).
+        if not 0.0 <= self.border_crop < 0.5:
+            raise ValueError(
+                f"border_crop must be in [0, 0.5), got {self.border_crop}")
 
     def replace(self, **kw) -> "StabilizeConfig":
         return dataclasses.replace(self, **kw)

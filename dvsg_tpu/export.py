@@ -40,6 +40,26 @@ from dvsg_tpu.config import (StabilizeConfig, config_to_json,
                              stabilize_config_from_dict)
 
 _MAGIC = b"DVSGX1\n"
+_FORMAT_VERSION = 1
+
+
+def resolve_cfg_platforms(cfg: StabilizeConfig,
+                          platforms: Optional[Sequence[str]]
+                          ) -> StabilizeConfig:
+    """Resolve ``warp_impl="auto"`` against the TARGET platforms.
+
+    ``auto`` normally resolves against the build host's backend
+    (ops/warp.resolve_impl) — but an export destined for another
+    platform must bake the impl the ARTIFACT will run on: cross-
+    exporting from a CPU build host for a TPU fleet has to ship the
+    Pallas kernel, not the lax oracle it would silently trace on the
+    host (~100x slower in the batched serving context, ops/guard.py).
+    """
+    if cfg.warp_impl != "auto" or not platforms:
+        return cfg
+    impl = ("pallas" if any(p in ("tpu", "axon") for p in platforms)
+            else "lax")
+    return cfg.replace(warp_impl=impl)
 
 
 def _halo_shape(cfg: StabilizeConfig) -> Tuple[int, int, int, int]:
@@ -62,14 +82,15 @@ def export_chunk_program(cfg: StabilizeConfig, params, height: int,
     from dvsg_tpu.ops import warp as warp_ops
     from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
 
+    plats = tuple(platforms) if platforms else None
+    cfg = resolve_cfg_platforms(cfg, plats)
+
     def fn(frames_u8, halo):
         return stabilize_chunk_impl(cfg, params, frames_u8, halo)
 
     frames_spec = jax.ShapeDtypeStruct(
         (cfg.chunk_frames, height, width, cfg.model.channels), np.uint8)
     halo_spec = jax.ShapeDtypeStruct(_halo_shape(cfg), np.float32)
-
-    plats = tuple(platforms) if platforms else None
     disabled = ()
     if warp_ops.resolve_impl(cfg.warp_impl) != "lax":
         # The Pallas kernel lowers to a tpu_custom_call, which jax.export
@@ -101,6 +122,8 @@ def export_batch_program(cfg: StabilizeConfig, params, n_clips: int,
     from dvsg_tpu.parallel.dp import _stabilize_chunk_batch
     from dvsg_tpu.parallel.mesh import DATA_AXIS
 
+    cfg = resolve_cfg_platforms(
+        cfg, tuple(platforms) if platforms else None)
     shard = NamedSharding(mesh, P(DATA_AXIS))
     fn = jax.jit(
         lambda frames, halos: _stabilize_chunk_batch(cfg, params, frames,
@@ -275,7 +298,14 @@ class ExportedStabilizer:
 
 
 def load_exported(path: str) -> ExportedStabilizer:
-    """Read an artifact file and deserialize the program."""
+    """Read an artifact file, validate its header, deserialize the
+    program. Raises ``ValueError`` with an actionable message on a
+    truncated file or an unsupported format version; warns (stderr) when
+    the artifact was exported under a different jax version (the
+    tpu_custom_call ABI caveat in the module docstring)."""
+    import sys
+
+    import jax
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -283,8 +313,32 @@ def load_exported(path: str) -> ExportedStabilizer:
         if magic != _MAGIC:
             raise ValueError(f"{path} is not a dvsgx artifact "
                              f"(bad magic {magic!r})")
-        (hdr_len,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(hdr_len).decode("utf-8"))
+        raw_len = f.read(4)
+        if len(raw_len) < 4:
+            raise ValueError(f"{path}: truncated artifact (no header "
+                             "length)")
+        (hdr_len,) = struct.unpack("<I", raw_len)
+        raw_hdr = f.read(hdr_len)
+        if len(raw_hdr) < hdr_len:
+            raise ValueError(f"{path}: truncated artifact (header cut "
+                             f"short at {len(raw_hdr)}/{hdr_len} bytes)")
+        meta = json.loads(raw_hdr.decode("utf-8"))
         blob = f.read()
+    if meta.get("format") != "dvsgx" or (
+            meta.get("version") != _FORMAT_VERSION):
+        raise ValueError(
+            f"{path}: unsupported artifact format "
+            f"{meta.get('format')!r} v{meta.get('version')!r} (this "
+            f"loader reads dvsgx v{_FORMAT_VERSION}); re-export with "
+            "this version of dvsg-export")
+    if not blob:
+        raise ValueError(f"{path}: truncated artifact (no program "
+                         "bytes after the header)")
+    if meta.get("jax_version") != jax.__version__:
+        print(f"WARNING: {path} was exported under jax "
+              f"{meta.get('jax_version')}, this process runs "
+              f"{jax.__version__}; the embedded tpu_custom_call ABI is "
+              "not guaranteed stable across versions — re-export if "
+              "deserialization or execution fails", file=sys.stderr)
     exported = jexport.deserialize(blob)
     return ExportedStabilizer(exported, meta)

@@ -52,6 +52,9 @@ def grid_from_offsets(offsets: jax.Array, height: int, width: int,
     grid toward the center (scale identity by 1-2*crop) — the standard
     stabilized-border crop, folded into the same warp for free.
     """
+    if not 0.0 <= border_crop < 0.5:
+        raise ValueError(
+            f"border_crop must be in [0, 0.5), got {border_crop}")
     dense = upsample_offsets(offsets.astype(jnp.float32), height, width)
     scale = 1.0 - 2.0 * border_crop
     return identity_grid(height, width) * scale + dense

@@ -682,6 +682,12 @@ def warp_u8_offsets(frames_u8: jax.Array, offsets: jax.Array,
     gw = offsets.shape[2]
     if gw >= TILE_W:
         raise ValueError(f"coarse grid width {gw} must be < {TILE_W}")
+    if not 0.0 <= border_crop < 0.5:
+        # crop >= 0.5 flips the identity scale's sign: x would DECREASE
+        # with pixel index, inverting the corner-derived per-block
+        # bounds below — the guard could report ok on uncovered taps.
+        raise ValueError(
+            f"border_crop must be in [0, 0.5), got {border_crop}")
     scale = 1.0 - 2.0 * border_crop
     n_sub = pick_n_sub(h, tile_h)
     blk = tile_h * n_sub

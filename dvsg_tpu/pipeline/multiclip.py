@@ -59,9 +59,10 @@ class MultiClipResult:
 
 
 def _decode_worker(reader, chunk, out_q, errs, idx, stop):
-    # ``stop`` is set only on the ABNORMAL exit path (device-step
-    # failure): it bounds how much a worker decodes after the main loop
-    # stopped consuming, so the error-path drain finishes quickly.
+    # ``stop`` is this clip's abandon signal (its encoder failed, or the
+    # device step died): it bounds how much a worker decodes after the
+    # main loop stopped consuming, so an abandoned hour-long clip does
+    # not burn a core decoding to EOF before the batch can return.
     try:
         while not stop.is_set():
             batch = reader.read_batch(chunk)
@@ -145,11 +146,11 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     written = [0] * n           # frames on disk, owned by encode workers
     threads = []
     dec_threads = []
-    dec_stop = threading.Event()
+    dec_stops = [threading.Event() for _ in range(n)]
     for i in range(n):
         t = threading.Thread(target=_decode_worker,
                              args=(readers[i], t_chunk, dec_qs[i],
-                                   dec_errors, i, dec_stop),
+                                   dec_errors, i, dec_stops[i]),
                              daemon=True)
         t.start()
         threads.append(t)
@@ -163,8 +164,12 @@ def stabilize_multi(cfg: StabilizeConfig, params,
 
     def _drain_decode(i):
         # A failed clip's decode worker may still be producing into its
-        # bounded queue; stop consuming it in the main loop and drain it
-        # here so the worker can't block forever on put() (liveness).
+        # bounded queue; stop it, stop consuming it in the main loop,
+        # and drain it here so the worker can't block forever on put()
+        # (liveness). The stop event ends the worker at its next
+        # read_batch boundary instead of letting it decode to EOF.
+        dec_stops[i].set()
+
         def drain():
             while dec_threads[i].is_alive() or not dec_qs[i].empty():
                 try:
@@ -188,7 +193,6 @@ def stabilize_multi(cfg: StabilizeConfig, params,
         # escapes — otherwise the caller's writer.close() races the
         # in-flight write_batch calls (truncated containers, written[]
         # counts that don't match disk) and blocked decode workers leak.
-        dec_stop.set()
         for i in range(n):
             if not done[i]:
                 _drain_decode(i)

@@ -248,8 +248,8 @@ def main(argv=None) -> int:
         print("WARNING: serving an untrained (identity) model",
               file=sys.stderr)
 
-    if not 0.0 <= args.strength <= 2.0:
-        print("ERROR: --strength must be in [0, 2]", file=sys.stderr)
+    from dvsg_tpu.cli import _bad_strength
+    if _bad_strength(args.strength):
         return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
                           warp_impl=args.warp_impl,

@@ -90,6 +90,43 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="not a dvsgx artifact"):
             export_lib.load_exported(path)
 
+    def test_truncated_artifact_rejected(self, tmp_path, small_setup):
+        """Truncation at each layout boundary must give the actionable
+        message, not a struct/json/deserialize traceback."""
+        import json
+        import struct
+        cfg, params, _ = small_setup
+        good = str(tmp_path / "good.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_chunk_program(cfg, params, 48, 64), good,
+            cfg)
+        blob = open(good, "rb").read()
+        hdr_end = (len(export_lib._MAGIC) + 4 + struct.unpack(
+            "<I", blob[len(export_lib._MAGIC):len(export_lib._MAGIC) + 4]
+        )[0])
+        for cut, what in ((len(export_lib._MAGIC) + 2, "header length"),
+                          (hdr_end - 5, "header cut short"),
+                          (hdr_end, "no program bytes")):
+            path = str(tmp_path / f"cut{cut}.dvsgx")
+            with open(path, "wb") as f:
+                f.write(blob[:cut])
+            with pytest.raises(ValueError, match="truncated artifact"):
+                export_lib.load_exported(path)
+
+    def test_future_format_version_rejected(self, tmp_path):
+        import json
+        import struct
+        hdr = json.dumps({"format": "dvsgx", "version": 99}).encode()
+        path = str(tmp_path / "future.dvsgx")
+        with open(path, "wb") as f:
+            f.write(export_lib._MAGIC)
+            f.write(struct.pack("<I", len(hdr)))
+            f.write(hdr)
+            f.write(b"x")
+        with pytest.raises(ValueError, match="unsupported artifact "
+                                             "format"):
+            export_lib.load_exported(path)
+
 
 class TestExportCLI:
     def test_cli_export_then_load(self, tmp_path):
@@ -130,6 +167,33 @@ class TestCrossExport:
         with open(path, "rb") as f:
             blob = f.read()
         assert b"tpu_custom_call" in blob
+
+    def test_auto_impl_resolves_against_target_platform(self, tmp_path,
+                                                        small_setup):
+        """warp_impl='auto' with platforms=('tpu',) on a CPU build host
+        must bake the Pallas kernel, not the lax oracle the host backend
+        would resolve to (resolve_cfg_platforms): the DEPLOY.md cross-
+        export command says 'CPU is fine' and previously shipped a
+        silently ~100x-slower artifact."""
+        cfg, params, _ = small_setup
+        cfg = cfg.replace(warp_impl="auto")
+        assert export_lib.resolve_cfg_platforms(
+            cfg, ("tpu",)).warp_impl == "pallas"
+        assert export_lib.resolve_cfg_platforms(
+            cfg, ("cpu",)).warp_impl == "lax"
+        # No target platforms: leave "auto" to resolve at trace time.
+        assert export_lib.resolve_cfg_platforms(
+            cfg, None).warp_impl == "auto"
+
+        path = str(tmp_path / "auto_tpu.dvsgx")
+        exp = export_lib.export_chunk_program(cfg, params, 48, 64,
+                                              platforms=("tpu",))
+        export_lib.save_exported(
+            exp, path, export_lib.resolve_cfg_platforms(cfg, ("tpu",)))
+        loaded_meta = export_lib.load_exported(path)
+        assert loaded_meta.cfg.warp_impl == "pallas"
+        with open(path, "rb") as f:
+            assert b"tpu_custom_call" in f.read()
 
 
 class TestBatchExport:

@@ -186,6 +186,79 @@ def test_failed_encoder_is_isolated(tmp_path, params, rng):
     np.testing.assert_array_equal(got, single.stabilize_clip(clips[1]))
 
 
+class _CountingReader:
+    """VideoReader lookalike counting read_batch calls."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.calls = 0
+        self.shape = inner.shape
+        self.height = inner.height
+        self.width = inner.width
+        self.fps = inner.fps
+
+    def read_batch(self, n):
+        self.calls += 1
+        return self._inner.read_batch(n)
+
+    def close(self):
+        self._inner.close()
+
+
+def test_failed_encoder_stops_decode_early(tmp_path, params, rng):
+    """A clip abandoned by its encoder's failure must stop DECODING too:
+    the worker's per-clip stop event ends it at the next read_batch
+    boundary instead of decoding the rest of the clip into the drain
+    (an hour-long clip would otherwise burn a core and delay the whole
+    batch's return by its full decode time)."""
+    dirs, _ = _make_clips(tmp_path, rng, [200, 12])
+    outs = [str(tmp_path / f"so{i}") for i in range(2)]
+    readers = [_CountingReader(video_io.VideoReader(d)) for d in dirs]
+    writers = [video_io.VideoWriter(o, 40, 32) for o in outs]
+    writers[0] = _FailingWriter(writers[0], fail_after=4)
+    result = stabilize_multi(CFG, params, readers, writers)
+    for w_ in writers:
+        w_.close()
+    assert result.failed_clips == [0]
+    assert result.frames_written[1] == 12
+    # 200 frames = 50 chunk-4 batches; the abandoned clip must stop far
+    # short of EOF (bound: chunks consumed before the failure is seen
+    # + queue_depth in flight + one read racing the stop event).
+    assert readers[0].calls < 25, readers[0].calls
+
+
+def test_cli_batch_closes_writers_on_device_failure(tmp_path, params, rng,
+                                                    monkeypatch):
+    """stabilize-batch must close (finalize) every writer even when
+    stabilize_multi raises — partial outputs are the advertised resume
+    point, and an unclosed container is unreadable."""
+    dirs, _ = _make_clips(tmp_path, rng, [6, 6])
+    closed = []
+    real_writer = video_io.VideoWriter
+
+    class SpyWriter(real_writer):
+        def close(self):
+            closed.append(self)
+            super().close()
+
+    monkeypatch.setattr(video_io, "VideoWriter", SpyWriter)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr("dvsg_tpu.pipeline.multiclip.stabilize_multi",
+                        boom)
+    outs = [str(tmp_path / f"wo{i}") for i in range(2)]
+    with pytest.raises(RuntimeError, match="injected device failure"):
+        cli.stabilize_batch_main([
+            "--inputs", *dirs, "--outputs", *outs,
+            "--window", "3", "--model-size", "32", "32",
+            "--grid-size", "8", "8", "--chunk-frames", "4",
+            "--warp-impl", "lax", "--platform", "cpu", "--no-mesh",
+        ])
+    assert len(closed) == 2
+
+
 def test_all_clips_failing_raises(tmp_path, params, rng):
     dirs, _ = _make_clips(tmp_path, rng, [8])
     readers = [_FailingReader(video_io.VideoReader(dirs[0]), 0)]

@@ -156,3 +156,30 @@ class TestSyntheticFixture:
         interior = (slice(10, -10), slice(10, -10))
         p = psnr(rec[interior], np.asarray(still)[interior])
         assert p > 32.0, f"inverse-jitter PSNR too low: {p:.1f} dB"
+
+
+class TestBorderCropValidation:
+    """border_crop >= 0.5 flips the identity-scale sign (1 - 2*crop),
+    which would invert the Pallas coverage guard's corner-derived
+    per-block bounds — every entry must reject it up front."""
+
+    def test_config_rejects(self):
+        with pytest.raises(ValueError, match="border_crop"):
+            StabilizeConfig(model=MCFG, border_crop=0.5)
+        with pytest.raises(ValueError, match="border_crop"):
+            StabilizeConfig(model=MCFG, border_crop=-0.01)
+        StabilizeConfig(model=MCFG, border_crop=0.49)  # boundary ok
+
+    def test_grid_rejects(self):
+        from dvsg_tpu.ops import grid as grid_ops
+        with pytest.raises(ValueError, match="border_crop"):
+            grid_ops.grid_from_offsets(jnp.zeros((4, 4, 2)), 32, 32,
+                                       border_crop=0.6)
+
+    def test_offsets_kernel_rejects(self):
+        from dvsg_tpu.ops import warp_wide
+        frames = np.zeros((1, 32, 128, 3), np.uint8)
+        offsets = np.zeros((1, 4, 4, 2), np.float32)
+        with pytest.raises(ValueError, match="border_crop"):
+            warp_wide.warp_u8_offsets(frames, offsets, border_crop=0.5,
+                                      interpret=True)
