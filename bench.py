@@ -564,6 +564,46 @@ def warp_ops_name(cfg):
     return warp_ops.resolve_impl(cfg.warp_impl)
 
 
+def _backend_probe(timeout_s=150):
+    """Cheap liveness probe for the device backend, in a subprocess.
+
+    The axon tunnel can go fully down for stretches (ARCHITECTURE.md
+    "Known environment quirks"): ``jax.devices()`` then hangs forever in
+    backend init — sometimes even at interpreter start (the sitecustomize
+    registration call), which is why the probe is a subprocess with a
+    hard timeout rather than an in-process import.
+    """
+    import subprocess
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_backend(budget_s=2400, probe_timeout_s=150, sleep_s=120):
+    """Wait out a tunnel outage, up to ``budget_s`` seconds.
+
+    Returns True as soon as a probe succeeds; False when the budget is
+    exhausted (the caller still attempts the measurement — the probe is
+    advisory, not a gate)."""
+    deadline = time.monotonic() + budget_s
+    while True:
+        if _backend_probe(probe_timeout_s):
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            log("backend probe still failing after the wait budget; "
+                "attempting the measurement anyway")
+            return False
+        log(f"backend probe failed (tunnel down?); waiting "
+            f"({remaining:.0f}s of patience left)")
+        time.sleep(min(sleep_s, max(remaining, 1)))
+
+
 def _run_with_retries():
     """Run the measurement in a subprocess with timeout + retry.
 
@@ -571,13 +611,18 @@ def _run_with_retries():
     (ARCHITECTURE.md "Known environment quirks"); the reliable remedy is
     kill-and-retry — the first attempt's compile usually lands in the
     persistent cache, so the retry is fast. This wrapper automates that so
-    a single wedge can't leave the benchmark without a result.
+    a single wedge can't leave the benchmark without a result. A full
+    tunnel OUTAGE (backend init hangs) is detected with a cheap probe and
+    waited out with a bounded budget instead of burning the per-attempt
+    timeout on a hang.
     """
     import subprocess
 
     env = dict(os.environ, DVSG_BENCH_INNER="1")
     last_err = ""
     for attempt in range(3):
+        # ~30 s when healthy (one jax import); bounded wait when not.
+        _wait_for_backend(budget_s=0 if attempt == 0 else 2400)
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

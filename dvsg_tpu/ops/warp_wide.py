@@ -125,7 +125,8 @@ def _lane_geometry(cb, tile_h: int, channels: int):
 
 def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
                     channels: int, unroll: int, packed: bool = False,
-                    adaptive_tail: bool = False):
+                    adaptive_tail: bool = False,
+                    stripe_fold: bool = True):
     """Bilinear accumulation for one (tile_h, 128) sub-tile.
 
     ``y``/``xpx`` are source coordinates in padded-plane space (y includes
@@ -145,7 +146,21 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
     f32 pair-pack (both horizontal taps of one row per lane), which the
     24-bit f32 mantissa capped at two payloads (scripts/kexp_quad.py).
     The x1 tap rides the x0 lane, so x1 stripe coverage is no longer a
-    constraint."""
+    constraint.
+
+    ``stripe_fold`` (packed path, ADOPTED round-3): each lane's tap
+    lives in EXACTLY one stripe, so the three per-stripe gather results
+    are disjoint after masking non-selected lanes to 0 — OR-combine
+    them and unpack ONCE instead of per stripe, applying the plain
+    (unmasked) horizontal weights to the combined payload.
+    Bit-identical to the per-stripe form (the zeroed terms are exact in
+    f32) with ~2/3 of the unpack and weight-mask VPU ops removed from
+    the candidate loop. On-chip (scripts/kexp_offsets.py, b=8,
+    back-to-back interleaved runs): 545-547 vs 550-561 µs/frame at
+    720p, 1173 vs 1183 at 1080p — a small consistent win; UNROLL_QUAD
+    re-swept under fold (2→545, 3→578), 2 stays. A first measurement
+    taken right after an unrelated chip run read 784 — re-measure
+    interleaved before trusting any single probe."""
     y0 = jnp.floor(y)
     x0 = jnp.floor(xpx)
     fy = y - y0
@@ -165,10 +180,13 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
     w1 = fx
     w0 = 1.0 - fx
     loc0m = [jnp.where(reg0 == s, loc0, 0) for s in range(N_STRIPES)]
-    w0m = [jnp.where(reg0 == s, w0, 0.0) for s in range(N_STRIPES)]
-    if packed:
+    if packed and stripe_fold:
+        eqs = [reg0 == s for s in range(N_STRIPES)]
+    elif packed:
+        w0m = [jnp.where(reg0 == s, w0, 0.0) for s in range(N_STRIPES)]
         w1m = [jnp.where(reg0 == s, w1, 0.0) for s in range(N_STRIPES)]
     else:
+        w0m = [jnp.where(reg0 == s, w0, 0.0) for s in range(N_STRIPES)]
         lx1 = lx0 + channels     # x1 tap: +C lanes
         reg1 = lx1 // TILE_W
         loc1 = lx1 - reg1 * TILE_W
@@ -202,6 +220,25 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
         wv_b = (jnp.where(resid == dp + 1, 1.0 - fy, 0.0)
                 + jnp.where(resid + 1 == dp + 1, fy, 0.0))
         ds_ = jnp.minimum(dp, dmax + 1)
+        if stripe_fold:
+            # Disjoint after masking (one stripe owns each lane): OR-
+            # combine the gathers and unpack ONCE; plain weights apply.
+            g = None
+            for s in range(N_STRIPES):
+                seg = stripes[s][0, pl.ds(r0p + ds_, tile_h), :]
+                gs = jnp.where(eqs[s],
+                               jnp.take_along_axis(seg, loc0m[s], axis=1),
+                               0)
+                g = gs if g is None else g | gs
+            b3 = jax.lax.shift_right_logical(g, 24).astype(jnp.float32)
+            b2 = jnp.bitwise_and(jax.lax.shift_right_logical(g, 16),
+                                 0xFF).astype(jnp.float32)
+            b1 = jnp.bitwise_and(jax.lax.shift_right_logical(g, 8),
+                                 0xFF).astype(jnp.float32)
+            b0 = jnp.bitwise_and(g, 0xFF).astype(jnp.float32)
+            hv_a = w0 * b3 + w1 * b2
+            hv_b = w0 * b1 + w1 * b0
+            return wv_a * hv_a + wv_b * hv_b
         hv_a = None
         hv_b = None
         for s in range(N_STRIPES):

@@ -9,7 +9,7 @@ variants (grid order, tile height). Numbers feed ARCHITECTURE.md.
 
 Usage: python scripts/kexp_offsets.py [--h 720] [--w 1280] [--batch 8]
        [variants: full unpacked dma_only coord_only no_coord one_candidate
-                  rt_outer]
+                  rt_outer nofold]
 """
 import argparse
 import os
@@ -89,7 +89,8 @@ def make_kernel(tile_h, channels, pad_h, n_sub, unroll, h, w, gw, scale,
             acc = warp_wide._sub_accumulate(
                 stripes, y, xpx, phase, lane_base, r0 + pad_h,
                 tile_h, channels, unroll, packed=packed,
-                adaptive_tail=(mode == "tail"))
+                adaptive_tail=(mode == "tail"),
+                stripe_fold=(mode != "nofold"))
             out_ref[0, rows, :] = warp_wide._quantize_u8(acc)
 
     return kernel
