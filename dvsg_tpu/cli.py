@@ -125,6 +125,40 @@ def _auto_chunk(height: int, width: int, n_clips: int = 1) -> int:
     return t
 
 
+def _parse_border_crop(val):
+    """'auto' | float in [0, 0.5) | None (parse error, message printed)."""
+    s = str(val).strip().lower()
+    if s == "auto":
+        return "auto"
+    try:
+        f = float(s)
+    except ValueError:
+        print(f"ERROR: --border-crop must be a fraction in [0, 0.5) or "
+              f"'auto', got {val!r}", file=sys.stderr)
+        return None
+    return f
+
+
+def _run_autocrop_scan(cfg, params, input_path, video_io):
+    """Pass 1 of --border-crop auto: scan ``input_path`` with a fresh
+    reader, report, and return the picked crop fraction."""
+    from dvsg_tpu.pipeline.autocrop import pick_border_crop
+    t0 = time.perf_counter()
+    scan_reader = video_io.VideoReader(input_path)
+    try:
+        crop, max_off, capped = pick_border_crop(cfg, params, scan_reader)
+    finally:
+        scan_reader.close()
+    print(f"auto border-crop: max |offset| {max_off:.4f} -> crop "
+          f"{crop:.4f} ({round(crop * 64)}/64, scan "
+          f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+    if capped:
+        print("WARNING: clip motion exceeds the largest valid crop "
+              "(31/64); residual borders will be edge-clamped",
+              file=sys.stderr)
+    return crop
+
+
 def _bad_strength(strength: float) -> bool:
     """One shared pre-flight --strength check (the range lives in
     StabilizeConfig.__post_init__; this just fails fast with a clean
@@ -171,9 +205,12 @@ def stabilize_main(argv=None) -> int:
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--metrics-out", default=None,
                    help="append a JSONL metrics record here")
-    p.add_argument("--border-crop", type=float, default=0.0,
+    p.add_argument("--border-crop", default="0",
                    help="crop fraction zoomed into the warp (hides "
-                        "stabilized borders)")
+                        "stabilized borders), or 'auto': a cheap predict-"
+                        "only first pass over the input picks the minimal "
+                        "crop that hides every border (two-pass, like "
+                        "vidstab detect/transform)")
     p.add_argument("--strength", type=float, default=1.0,
                    help="stabilization strength: 1 = full correction "
                         "(default), 0 = passthrough, values between keep "
@@ -187,9 +224,16 @@ def stabilize_main(argv=None) -> int:
                         "loop into this dir and print an op summary")
     _add_model_args(p)
     args = p.parse_args(argv)
+    border_crop = _parse_border_crop(args.border_crop)
+    if border_crop is None:
+        return 2
     if args.artifact and (args.checkpoint or args.preset):
         print("ERROR: --artifact already contains the weights; drop "
               "--checkpoint/--preset", file=sys.stderr)
+        return 2
+    if border_crop == "auto" and args.artifact:
+        print("ERROR: --border-crop auto needs the two-pass pipeline; "
+              "an --artifact bakes its crop at export time", file=sys.stderr)
         return 2
     if not args.artifact:
         _resolve_preset(args)
@@ -240,9 +284,17 @@ def stabilize_main(argv=None) -> int:
             return 2
         chunk = args.chunk_frames or _auto_chunk(reader.height,
                                                  reader.width)
+        if border_crop == "auto":
+            # Pass 1 shares chunking/strength with pass 2 so both passes
+            # predict identical offsets (pipeline/autocrop.py).
+            scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
+                                       warp_impl=args.warp_impl,
+                                       strength=args.strength)
+            border_crop = _run_autocrop_scan(scan_cfg, params, args.input,
+                                             video_io)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                               warp_impl=args.warp_impl,
-                              border_crop=args.border_crop,
+                              border_crop=border_crop,
                               strength=args.strength)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
@@ -353,11 +405,18 @@ def stabilize_batch_main(argv=None) -> int:
                    help="disable data-parallel sharding even with >1 device")
     p.add_argument("--strength", type=float, default=1.0,
                    help="stabilization strength (1 full, 0 passthrough)")
+    p.add_argument("--border-crop", default="0",
+                   help="crop fraction, or 'auto': predict-only scan over "
+                        "ALL clips picks one shared minimal crop (a single "
+                        "value keeps the batch in one device program)")
     p.add_argument("--platform", default=None)
     p.add_argument("--metrics-out", default=None)
     _add_model_args(p)
     args = p.parse_args(argv)
     _resolve_preset(args)
+    border_crop = _parse_border_crop(args.border_crop)
+    if border_crop is None:
+        return 2
     if len(args.inputs) != len(args.outputs):
         print("ERROR: --inputs and --outputs must pair up", file=sys.stderr)
         return 2
@@ -400,8 +459,30 @@ def stabilize_batch_main(argv=None) -> int:
                                              else 1)
         chunk = args.chunk_frames or _auto_chunk(h, w,
                                                  n_clips=clips_per_dev)
+        if border_crop == "auto":
+            from dvsg_tpu.pipeline.autocrop import (crop_for_max_offset,
+                                                    scan_stream_max_offset)
+            scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
+                                       warp_impl=args.warp_impl,
+                                       strength=args.strength)
+            m = 0.0
+            for p_ in args.inputs:
+                r = video_io.VideoReader(p_)
+                try:
+                    m = max(m, scan_stream_max_offset(scan_cfg, params, r))
+                finally:
+                    r.close()
+            border_crop, capped = crop_for_max_offset(m)
+            print(f"auto border-crop (shared over {len(args.inputs)} "
+                  f"clips): max |offset| {m:.4f} -> crop {border_crop:.4f} "
+                  f"({round(border_crop * 64)}/64)", file=sys.stderr)
+            if capped:
+                print("WARNING: clip motion exceeds the largest valid "
+                      "crop (31/64); residual borders will be "
+                      "edge-clamped", file=sys.stderr)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                               warp_impl=args.warp_impl,
+                              border_crop=border_crop,
                               strength=args.strength)
         writers = [video_io.VideoWriter(p_, w, h, readers[i].fps)
                    for i, p_ in enumerate(args.outputs)]
