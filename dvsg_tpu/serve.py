@@ -221,6 +221,12 @@ def main(argv=None) -> int:
                         "co-travellers after a request arrives")
     p.add_argument("--strength", type=float, default=1.0,
                    help="stabilization strength (1 full, 0 passthrough)")
+    p.add_argument("--border-crop", type=float, default=0.0,
+                   help="crop fraction zoomed into the warp (fixed for "
+                        "the server: requests batch onto ONE compiled "
+                        "program, so per-request 'auto' does not apply — "
+                        "pick a value with 'dvsg-stabilize --border-crop "
+                        "auto' on representative footage)")
     p.add_argument("--max-upload-mb", type=int, default=1024,
                    help="reject request bodies above this size with 413 "
                         "(each request thread buffers its body in RAM)")
@@ -251,8 +257,12 @@ def main(argv=None) -> int:
     from dvsg_tpu.cli import _bad_strength
     if _bad_strength(args.strength):
         return 2
+    if not 0.0 <= args.border_crop < 0.5:
+        print("ERROR: --border-crop must be in [0, 0.5)", file=sys.stderr)
+        return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
                           warp_impl=args.warp_impl,
+                          border_crop=args.border_crop,
                           strength=args.strength)
     engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
                              window_s=args.batch_window_ms / 1e3)

@@ -280,3 +280,10 @@ def test_server_fault_is_500_and_oversize_is_413(tmp_path, rng):
     finally:
         srv.shutdown()
         engine.close()
+
+
+def test_main_rejects_bad_border_crop(capsys):
+    from dvsg_tpu import serve
+    rc = serve.main(["--border-crop", "0.7", "--platform", "cpu"])
+    assert rc == 2
+    assert "border-crop" in capsys.readouterr().err
