@@ -126,30 +126,46 @@ def _auto_chunk(height: int, width: int, n_clips: int = 1) -> int:
 
 
 def _parse_border_crop(val):
-    """'auto' | float in [0, 0.5) | None (parse error, message printed)."""
+    """'auto' | float in [0, 0.5) | None (parse error, message printed).
+
+    The range is enforced HERE so bad values fail before any
+    checkpoint/reader/device work (the fail-fast pattern of
+    _bad_strength); StabilizeConfig.__post_init__ re-validates."""
     s = str(val).strip().lower()
     if s == "auto":
         return "auto"
     try:
         f = float(s)
     except ValueError:
+        f = -1.0
+    if not 0.0 <= f < 0.5:
         print(f"ERROR: --border-crop must be a fraction in [0, 0.5) or "
               f"'auto', got {val!r}", file=sys.stderr)
         return None
     return f
 
 
-def _run_autocrop_scan(cfg, params, input_path, video_io):
-    """Pass 1 of --border-crop auto: scan ``input_path`` with a fresh
-    reader, report, and return the picked crop fraction."""
-    from dvsg_tpu.pipeline.autocrop import pick_border_crop
+def _run_autocrop_scan(cfg, params, input_paths, video_io):
+    """Pass 1 of --border-crop auto: scan the input(s) with fresh
+    readers, report, and return the picked crop fraction.
+
+    The single shared report/warning site for BOTH CLIs: one clip scans
+    through the scalar program (bit-identical to pass 2); several scan
+    in lockstep through one vmapped program (mirroring how batched
+    pass 2 drives them) and share the max."""
+    from dvsg_tpu.pipeline.autocrop import (crop_for_max_offset,
+                                            scan_readers_max_offset)
     t0 = time.perf_counter()
-    scan_reader = video_io.VideoReader(input_path)
+    readers = [video_io.VideoReader(p_) for p_ in input_paths]
     try:
-        crop, max_off, capped = pick_border_crop(cfg, params, scan_reader)
+        m = scan_readers_max_offset(cfg, params, readers)
     finally:
-        scan_reader.close()
-    print(f"auto border-crop: max |offset| {max_off:.4f} -> crop "
+        for r in readers:
+            r.close()
+    crop, capped = crop_for_max_offset(m)
+    extra = (f" (shared over {len(input_paths)} clips)"
+             if len(input_paths) > 1 else "")
+    print(f"auto border-crop{extra}: max |offset| {m:.4f} -> crop "
           f"{crop:.4f} ({round(crop * 64)}/64, scan "
           f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr)
     if capped:
@@ -235,6 +251,13 @@ def stabilize_main(argv=None) -> int:
         print("ERROR: --border-crop auto needs the two-pass pipeline; "
               "an --artifact bakes its crop at export time", file=sys.stderr)
         return 2
+    if args.artifact and border_crop != 0.0:
+        # A silently-dropped explicit crop would change the output
+        # framing without notice.
+        print("ERROR: the artifact's border-crop was baked at export "
+              "time; re-export with dvsg-export --border-crop",
+              file=sys.stderr)
+        return 2
     if not args.artifact:
         _resolve_preset(args)
     if args.overlap and args.resume_dir:
@@ -268,8 +291,9 @@ def stabilize_main(argv=None) -> int:
         cfg = loaded.cfg
         stab = loaded.engine()
         print(f"artifact {args.artifact}: T={cfg.chunk_frames}, "
-              f"warp={cfg.warp_impl}, strength={cfg.strength} (baked at "
-              "export)", file=sys.stderr)
+              f"warp={cfg.warp_impl}, strength={cfg.strength}, "
+              f"border_crop={cfg.border_crop} (baked at export)",
+              file=sys.stderr)
     else:
         if args.checkpoint:
             params, mcfg = _load_any_checkpoint(args.checkpoint)
@@ -290,8 +314,8 @@ def stabilize_main(argv=None) -> int:
             scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                                        warp_impl=args.warp_impl,
                                        strength=args.strength)
-            border_crop = _run_autocrop_scan(scan_cfg, params, args.input,
-                                             video_io)
+            border_crop = _run_autocrop_scan(scan_cfg, params,
+                                             [args.input], video_io)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                               warp_impl=args.warp_impl,
                               border_crop=border_crop,
@@ -460,26 +484,11 @@ def stabilize_batch_main(argv=None) -> int:
         chunk = args.chunk_frames or _auto_chunk(h, w,
                                                  n_clips=clips_per_dev)
         if border_crop == "auto":
-            from dvsg_tpu.pipeline.autocrop import (crop_for_max_offset,
-                                                    scan_stream_max_offset)
             scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                                        warp_impl=args.warp_impl,
                                        strength=args.strength)
-            m = 0.0
-            for p_ in args.inputs:
-                r = video_io.VideoReader(p_)
-                try:
-                    m = max(m, scan_stream_max_offset(scan_cfg, params, r))
-                finally:
-                    r.close()
-            border_crop, capped = crop_for_max_offset(m)
-            print(f"auto border-crop (shared over {len(args.inputs)} "
-                  f"clips): max |offset| {m:.4f} -> crop {border_crop:.4f} "
-                  f"({round(border_crop * 64)}/64)", file=sys.stderr)
-            if capped:
-                print("WARNING: clip motion exceeds the largest valid "
-                      "crop (31/64); residual borders will be "
-                      "edge-clamped", file=sys.stderr)
+            border_crop = _run_autocrop_scan(scan_cfg, params, args.inputs,
+                                             video_io)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                               warp_impl=args.warp_impl,
                               border_crop=border_crop,

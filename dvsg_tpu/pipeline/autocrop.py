@@ -113,6 +113,80 @@ def scan_clip_max_offset(cfg: StabilizeConfig, params,
     return float(m)
 
 
+def _scan_batch_impl(cfg: StabilizeConfig, params, frames: jax.Array,
+                     halos: jax.Array, active: jax.Array,
+                     running_max: jax.Array):
+    """Vmapped predict-only step over a clip batch: fold each ACTIVE
+    clip's chunk max into the device-resident running max. ``active``
+    is a (B,) f32 mask; exhausted clips repeat their last chunk with the
+    contribution masked out (offsets are non-negative after abs)."""
+    zero = jnp.zeros((), jnp.float32)
+    m_b, new_halos = jax.vmap(
+        lambda f, h: predict_scan_chunk_impl(cfg, params, f, h, zero))(
+            frames, halos)
+    return jnp.maximum(running_max, jnp.max(m_b * active)), new_halos
+
+
+predict_scan_batch = functools.partial(
+    jax.jit, static_argnums=(0,),
+    donate_argnums=(3, 5))(_scan_batch_impl)
+
+
+def scan_readers_max_offset(cfg: StabilizeConfig, params, readers) -> float:
+    """Batched pass 1 over N same-resolution readers: lockstep chunks
+    through ONE vmapped device program — mirroring how the batched
+    pass 2 (multiclip/DP) drives clips, instead of N sequential
+    single-clip scans. Matches the max of per-clip scans: while a clip
+    is active its fed chunks are identical to the single-clip scan's
+    (including the final replicate-padded partial chunk); after
+    exhaustion its slot repeats the last chunk, masked out of the max.
+    """
+    n = len(readers)
+    if n == 0:
+        return 0.0
+    if n == 1:
+        # Single clip: the scalar program (bit-identical to pass 2).
+        return scan_stream_max_offset(cfg, params, readers[0])
+    t = cfg.chunk_frames
+    m = jnp.zeros((), jnp.float32)
+    halos = None
+    last_chunks = [None] * n
+    exhausted = [False] * n
+    while True:
+        step_active = np.zeros((n,), np.float32)
+        chunks = []
+        for i, r in enumerate(readers):
+            c = None
+            if not exhausted[i]:
+                c = r.read_batch(t)
+                nv = c.shape[0]
+                if nv == 0:
+                    exhausted[i] = True
+                    c = None
+                else:
+                    if nv < t:
+                        pad = np.repeat(c[-1:], t - nv, axis=0)
+                        c = np.concatenate([c, pad], axis=0)
+                        exhausted[i] = True   # after this (padded) step
+                    last_chunks[i] = c
+                    step_active[i] = 1.0
+            if c is None:
+                c = last_chunks[i]
+                if c is None:   # clip empty from the start
+                    c = np.zeros((t, r.height, r.width, 3), np.uint8)
+                    last_chunks[i] = c
+            chunks.append(c)
+        if not step_active.any():
+            break
+        batch = np.stack(chunks)
+        if halos is None:
+            halos = jnp.stack([initial_halo(cfg, chunks[i][0])
+                               for i in range(n)])
+        m, halos = predict_scan_batch(cfg, params, put_frames(batch),
+                                      halos, jnp.asarray(step_active), m)
+    return float(m)
+
+
 def crop_for_max_offset(max_abs_offset: float) -> Tuple[float, bool]:
     """Minimal quantized border crop hiding offsets up to the given max.
 

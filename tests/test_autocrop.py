@@ -64,6 +64,7 @@ class _ArrayReader:
     def __init__(self, frames):
         self.frames = frames
         self.pos = 0
+        self.height, self.width = frames.shape[1:3]
 
     def read_batch(self, k):
         out = self.frames[self.pos:self.pos + k]
@@ -121,6 +122,26 @@ class TestScan:
         empty = np.zeros((0, 96, 128, 3), np.uint8)
         assert autocrop.scan_clip_max_offset(cfg, params, empty) == 0.0
 
+    def test_batched_scan_matches_per_clip(self, trained_setup):
+        """Ragged-length batch through the vmapped lockstep scan equals
+        the max of independent per-clip scans: exhausted clips repeat
+        their last chunk masked out, active clips see identical chunks."""
+        cfg, params, frames = trained_setup
+        clips = [frames, frames[:11], frames[5:17]]   # ragged lengths
+        per_clip = [autocrop.scan_clip_max_offset(cfg, params, c)
+                    for c in clips]
+        batched = autocrop.scan_readers_max_offset(
+            cfg, params, [_ArrayReader(c) for c in clips])
+        assert batched == pytest.approx(max(per_clip), rel=1e-5)
+
+    def test_batched_scan_with_empty_member(self, trained_setup):
+        cfg, params, frames = trained_setup
+        empty = np.zeros((0, 96, 128, 3), np.uint8)
+        batched = autocrop.scan_readers_max_offset(
+            cfg, params, [_ArrayReader(frames[:9]), _ArrayReader(empty)])
+        solo = autocrop.scan_clip_max_offset(cfg, params, frames[:9])
+        assert batched == pytest.approx(solo, rel=1e-5)
+
 
 class TestCLI:
     def _write_clip(self, tmp_path, name="in", n=10):
@@ -150,6 +171,25 @@ class TestCLI:
             "--border-crop", "wide"])
         assert rc == 2
         assert "border-crop" in capsys.readouterr().err
+
+    def test_out_of_range_fails_fast(self, capsys):
+        """Range enforced at parse time, before any reader/checkpoint
+        work — the input path doesn't even exist."""
+        rc = cli.stabilize_main([
+            "--input", "/nonexistent", "--output", "/nonexistent2",
+            "--border-crop", "0.9"])
+        assert rc == 2
+        assert "[0, 0.5)" in capsys.readouterr().err
+
+    def test_artifact_with_explicit_crop_rejected(self, tmp_path, capsys):
+        """An explicit numeric crop must not be silently dropped in
+        favor of the artifact's baked value."""
+        rc = cli.stabilize_main([
+            "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+            "--artifact", str(tmp_path / "missing.dvsgx"),
+            "--border-crop", "0.1"])
+        assert rc == 2
+        assert "baked at export" in capsys.readouterr().err
 
     def test_auto_with_artifact_rejected(self, tmp_path, capsys):
         rc = cli.stabilize_main([
