@@ -101,8 +101,11 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, bank=None):
             train_loop.loss_fn, has_aux=True)(state.params, keys, cfg, bank)
         opt = train_loop.make_optimizer(cfg)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
+        # optax.apply_updates, same as the single-device train_step: it
+        # casts updates to each param's dtype before adding, where a raw
+        # p + u would silently promote under JAX type rules.
+        import optax
+        params = optax.apply_updates(state.params, updates)
         return train_loop.TrainState(params, opt_state, state.step + 1), aux
 
     step_fn = jax.jit(

@@ -102,6 +102,18 @@ class TemporalShardedStabilizer:
             raise ValueError(
                 f"chunk_frames {cfg.chunk_frames} must divide over "
                 f"{n_dev} devices")
+        t_local = cfg.chunk_frames // n_dev
+        if t_local < cfg.model.window - 1:
+            # The halo exchange passes ONE left-neighbor tail of
+            # window-1 frames; a shorter local shard cannot supply it
+            # (the ppermute would need frames from two neighbors) and
+            # fails deep inside shard_map with a broadcast error.
+            raise ValueError(
+                f"chunk_frames/n_dev = {t_local} local frames is shorter "
+                f"than the model's halo (window-1 = "
+                f"{cfg.model.window - 1}); raise chunk_frames to at "
+                f"least {(cfg.model.window - 1) * n_dev} for "
+                f"{n_dev} devices")
         self.cfg = cfg
         self.params = params
         self.mesh = mesh

@@ -96,27 +96,50 @@ def stabilize_stream_overlapped(stab: Stabilizer,
         encode_q.put(host)
         written += n_valid
 
-    while True:
-        with timer.stage("decode_wait"):
-            chunk = decode_q.get()
-        if chunk is _SENTINEL:
-            break
-        n_valid = chunk.shape[0]
-        if halo is None:
-            halo = initial_halo(cfg, chunk[0])
-        if n_valid < t_chunk:
-            pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
-            chunk = np.concatenate([chunk, pad], axis=0)
-        with timer.stage("dispatch"):
-            out_dev, halo, _ = stab._chunk(put_frames(chunk), halo)
-        # Fetch the PREVIOUS chunk only now — its compute overlapped with
-        # this chunk's decode and dispatch.
+    def _drain_decode():
+        # Unblock the decode worker (it may be parked on a full queue)
+        # and consume through to its sentinel; tolerate the sentinel
+        # having been consumed already (normal-exit races).
+        while dec.is_alive() or not decode_q.empty():
+            try:
+                if decode_q.get(timeout=0.1) is _SENTINEL:
+                    break
+            except queue.Empty:
+                continue
+
+    try:
+        while True:
+            with timer.stage("decode_wait"):
+                chunk = decode_q.get()
+            if chunk is _SENTINEL:
+                break
+            n_valid = chunk.shape[0]
+            if halo is None:
+                halo = initial_halo(cfg, chunk[0])
+            if n_valid < t_chunk:
+                pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            with timer.stage("dispatch"):
+                out_dev, halo, _ = stab._chunk(put_frames(chunk), halo)
+            # Fetch the PREVIOUS chunk only now — its compute overlapped
+            # with this chunk's decode and dispatch.
+            if pending is not None:
+                flush(pending)
+            pending = (out_dev, n_valid)
+
         if pending is not None:
             flush(pending)
-        pending = (out_dev, n_valid)
-
-    if pending is not None:
-        flush(pending)
+    except BaseException:
+        # A device-step/fetch failure must still retire both workers:
+        # a decode thread parked on queue.put would leak (holding the
+        # reader), and the caller's finally-block writer.close() must
+        # not race an in-flight write_batch (truncated container).
+        # multiclip.py applies the same discipline to its workers.
+        _drain_decode()
+        encode_q.put(_SENTINEL)
+        enc.join()
+        dec.join()
+        raise
     encode_q.put(_SENTINEL)
     enc.join()
     dec.join()

@@ -274,20 +274,24 @@ class Stabilizer:
         written = 0
         if resume_dir:
             import os
-            from dvsg_tpu.utils import checkpoint as ckpt
             os.makedirs(resume_dir, exist_ok=True)
-            state = ckpt.load_resume_state(resume_dir)
-            halo_path = os.path.join(resume_dir, "halo.npz")
-            if state and state.get("frames_written", 0) > 0 \
-                    and os.path.exists(halo_path):
-                written = int(state["frames_written"])
-                skipped = reader.skip(written)
-                if skipped != written:
-                    raise ValueError(
-                        f"resume record says {written} frames but input "
-                        f"only has {skipped} to skip")
-                writer.seek(written)
-                halo = jnp.asarray(np.load(halo_path)["halo"])
+            # ONE atomic artifact (halo + frames_written together): two
+            # separate files left a crash window where the halo was a
+            # chunk newer than the record — a resumed job would then
+            # stabilize its first chunk with the wrong input history.
+            state_path = os.path.join(resume_dir, "resume_state.npz")
+            if os.path.exists(state_path):
+                with np.load(state_path) as z:
+                    written = int(z["frames_written"])
+                    halo_np = np.array(z["halo"])
+                if written > 0:
+                    skipped = reader.skip(written)
+                    if skipped != written:
+                        raise ValueError(
+                            f"resume record says {written} frames but "
+                            f"input only has {skipped} to skip")
+                    writer.seek(written)
+                    halo = jnp.asarray(halo_np)
         while True:
             with timer.stage("decode"):
                 chunk = reader.read_batch(t_chunk)
@@ -310,10 +314,10 @@ class Stabilizer:
                 writer.write_batch(host_out)
             written += n_valid
             if resume_dir:
-                from dvsg_tpu.utils import checkpoint as ckpt
-                np.savez(halo_path, halo=np.asarray(halo))
-                ckpt.save_resume_state(resume_dir,
-                                       {"frames_written": written})
+                tmp = os.path.join(resume_dir, "resume_state.tmp.npz")
+                np.savez(tmp, halo=np.asarray(halo),
+                         frames_written=written)
+                os.replace(tmp, state_path)    # atomic flush
             if n_valid < t_chunk:
                 break
         return written

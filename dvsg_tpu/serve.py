@@ -69,7 +69,13 @@ def _build_handler(state: _State):
             if not self.path.startswith("/stabilize"):
                 self._json(404, {"error": "unknown path"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                # Non-numeric header must answer 400 like every other
+                # malformed input, not abort the connection.
+                self._json(400, {"error": "bad Content-Length header"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body"})
                 return
@@ -80,9 +86,11 @@ def _build_handler(state: _State):
                              "request thread buffers its body in RAM)"})
                 return
             data = self.rfile.read(length)
-            fmt = "mp4"
-            if "format=" in self.path:
-                fmt = self.path.split("format=")[1].split("&")[0]
+            # Real query parsing (exact param match + URL decoding): a
+            # substring scan would match 'fileformat=' and never decode.
+            from urllib.parse import parse_qs, urlsplit
+            q = parse_qs(urlsplit(self.path).query)
+            fmt = q.get("format", ["mp4"])[0]
             if fmt not in _ALLOWED_FORMATS:
                 self._json(400, {
                     "error": f"unsupported format {fmt!r}; allowed: "

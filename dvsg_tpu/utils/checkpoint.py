@@ -146,8 +146,14 @@ def load_npz(path: str):
 
 
 def save_resume_state(path: str, record: dict):
-    with open(os.path.join(os.path.abspath(path), "resume.json"), "w") as f:
+    """Atomic write (tmp + os.replace): a crash mid-write must leave the
+    previous valid record, not a truncated one — the record exists
+    precisely so crashed jobs can resume."""
+    p = os.path.join(os.path.abspath(path), "resume.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f)
+    os.replace(tmp, p)
 
 
 def load_resume_state(path: str) -> Optional[dict]:

@@ -39,6 +39,11 @@ def bgr_to_rgb(src: np.ndarray, out: Optional[np.ndarray] = None
     src = np.ascontiguousarray(src)
     if out is None:
         out = np.empty_like(src)
+    elif not out.flags.c_contiguous:
+        # reshape(-1) on a non-contiguous out would hand the native pass
+        # a COPY: the conversion would land in the temporary and be
+        # silently discarded.
+        raise ValueError("out buffer must be C-contiguous")
     mod = native()
     if mod is not None:
         mod.bgr_to_rgb_batch(src.reshape(-1), out.reshape(-1))

@@ -175,9 +175,16 @@ class VideoWriter:
         ext = os.path.splitext(path)[1].lower()
         if ext in _VIDEO_EXTS:
             self._dir = None
-            fourcc = cv2.VideoWriter_fourcc(*("mp4v" if ext in
-                                              (".mp4", ".m4v", ".mov")
-                                              else "MJPG"))
+            # Per-container codec: mp4-family takes mpeg4; webm ONLY
+            # accepts VP8/VP9 (MJPG fails isOpened, verified against the
+            # installed FFmpeg backend); avi/mkv take MJPG.
+            if ext in (".mp4", ".m4v", ".mov"):
+                codec = "mp4v"
+            elif ext == ".webm":
+                codec = "VP80"
+            else:
+                codec = "MJPG"
+            fourcc = cv2.VideoWriter_fourcc(*codec)
             self._writer = cv2.VideoWriter(path, fourcc, fps,
                                            (width, height))
             if not self._writer.isOpened():
@@ -209,12 +216,17 @@ class VideoWriter:
 
     def write(self, frame: np.ndarray):
         """frame: (H, W, 3) uint8 RGB."""
+        if frame.shape != (self.height, self.width, 3):
+            # cv2.VideoWriter.write silently DROPS wrong-size frames
+            # (the container ends up short and resume bookkeeping
+            # overcounts); fail loudly instead.
+            raise ValueError(
+                f"frame shape {frame.shape} does not match the writer's "
+                f"({self.height}, {self.width}, 3)")
         # RGB->BGR is the same channel swap as BGR->RGB; route it through
         # the native staging swizzle (parallel fused pass) like the decode
         # path, instead of a single-threaded numpy flip copy.
-        out = (self._bgr_scratch
-               if frame.shape == self._bgr_scratch.shape else None)
-        bgr = staging.bgr_to_rgb(frame, out=out)
+        bgr = staging.bgr_to_rgb(frame, out=self._bgr_scratch)
         if self._writer is not None:
             self._writer.write(bgr)
         else:

@@ -234,3 +234,25 @@ class TestAutoChunkFrames:
         assert "auto-picked T=16" in err
         with video_io.VideoReader(dst) as r:
             assert r.read_batch(32).shape[0] == 6
+
+
+def test_writer_rejects_wrong_size_frame(tmp_path):
+    """cv2.VideoWriter.write silently drops wrong-size frames (short
+    container, overstated resume point) — the wrapper must raise."""
+    p = str(tmp_path / "x.mp4")
+    with video_io.VideoWriter(p, 64, 48) as w:
+        w.write(np.zeros((48, 64, 3), np.uint8))
+        with pytest.raises(ValueError, match="shape"):
+            w.write(np.zeros((32, 32, 3), np.uint8))
+
+
+def test_writer_webm_container(tmp_path):
+    """.webm needs a VP8/VP9 fourcc (MJPG fails isOpened with the
+    FFmpeg backend)."""
+    p = str(tmp_path / "x.webm")
+    frames = (np.random.default_rng(0).random((4, 32, 48, 3)) * 255
+              ).astype(np.uint8)
+    with video_io.VideoWriter(p, 48, 32) as w:
+        w.write_batch(frames)
+    with video_io.VideoReader(p) as r:
+        assert r.read_batch(8).shape == frames.shape

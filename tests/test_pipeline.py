@@ -183,3 +183,50 @@ class TestBorderCropValidation:
         with pytest.raises(ValueError, match="border_crop"):
             warp_wide.warp_u8_offsets(frames, offsets, border_crop=0.5,
                                       interpret=True)
+
+
+class TestOverlappedFailureCleanup:
+    def test_device_step_failure_retires_workers(self, tmp_path):
+        """A mid-run device-step failure must still retire the decode and
+        encode workers (no leaked threads blocked on the queues, no race
+        against the caller's writer.close) and propagate the error."""
+        import threading
+        import jax
+        from dvsg_tpu.config import ModelConfig, StabilizeConfig
+        from dvsg_tpu.models import motion_cnn
+        from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped
+        from dvsg_tpu.pipeline.stabilize import Stabilizer
+        from dvsg_tpu.utils import video_io
+
+        mcfg = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                           base_features=8, blocks_per_level=1)
+        cfg = StabilizeConfig(model=mcfg, chunk_frames=2, warp_impl="lax",
+                              queue_depth=1)
+        params = motion_cnn.init_params(mcfg, jax.random.key(0))
+
+        class Boom(RuntimeError):
+            pass
+
+        class FailingStabilizer(Stabilizer):
+            calls = 0
+
+            def _chunk(self, dev_chunk, halo):
+                FailingStabilizer.calls += 1
+                if FailingStabilizer.calls >= 2:
+                    raise Boom("injected device failure")
+                return super()._chunk(dev_chunk, halo)
+
+        frames = np.random.default_rng(0).integers(
+            0, 255, (12, 32, 48, 3), np.uint8)
+        src = str(tmp_path / "in")
+        with video_io.VideoWriter(src, 48, 32) as w:
+            w.write_batch(frames)
+
+        before = threading.active_count()
+        stab = FailingStabilizer(cfg, params)
+        with video_io.VideoReader(src) as r, \
+                video_io.VideoWriter(str(tmp_path / "out"), 48, 32) as w:
+            with pytest.raises(Boom):
+                stabilize_stream_overlapped(stab, r, w)
+        # Both workers joined: thread count returns to the baseline.
+        assert threading.active_count() == before

@@ -287,3 +287,60 @@ def test_main_rejects_bad_border_crop(capsys):
     rc = serve.main(["--border-crop", "0.7", "--platform", "cpu"])
     assert rc == 2
     assert "border-crop" in capsys.readouterr().err
+
+
+def test_webm_format_roundtrip(url, tmp_path, rng):
+    """'webm' is in the allowlist, so it must actually encode (the MJPG
+    fourcc cv2 used for other non-mp4 containers fails isOpened on webm
+    — review finding; VideoWriter now maps .webm to VP8)."""
+    frames = (rng.random((5, 32, 48, 3)) * 255).astype(np.uint8)
+    src = str(tmp_path / "in.mp4")
+    with video_io.VideoWriter(src, 48, 32, fps=24.0) as w:
+        w.write_batch(frames)
+    with open(src, "rb") as f:
+        payload = f.read()
+    req = urllib.request.Request(url + "/stabilize?format=webm",
+                                 data=payload, method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "video/webm"
+        assert r.headers["X-Frames"] == "5"
+        out_bytes = r.read()
+    out_path = str(tmp_path / "out.webm")
+    with open(out_path, "wb") as f:
+        f.write(out_bytes)
+    with video_io.VideoReader(out_path) as rd:
+        assert rd.read_batch(32).shape == frames.shape
+
+
+def test_query_param_must_match_exactly(url, tmp_path, rng):
+    """'fileformat=avi' is NOT the format param: the old substring scan
+    matched it; parse_qs must fall back to the mp4 default."""
+    frames = (rng.random((4, 32, 48, 3)) * 255).astype(np.uint8)
+    src = str(tmp_path / "in.mp4")
+    with video_io.VideoWriter(src, 48, 32, fps=24.0) as w:
+        w.write_batch(frames)
+    with open(src, "rb") as f:
+        payload = f.read()
+    req = urllib.request.Request(url + "/stabilize?fileformat=avi",
+                                 data=payload, method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "video/mp4"
+
+
+def test_bad_content_length_answers_400(server):
+    """A non-numeric Content-Length must get a 400 response, not a
+    dropped connection (uncaught ValueError in the handler)."""
+    import http.client
+    host, port = server.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    try:
+        conn.putrequest("POST", "/stabilize")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+    finally:
+        conn.close()

@@ -87,3 +87,13 @@ def test_concurrent_callers_thread_safe(rng):
         t.join(timeout=60)
         assert not t.is_alive(), "native pool deadlocked"
     assert not errors
+
+
+def test_bgr_to_rgb_rejects_noncontiguous_out():
+    """A non-contiguous out buffer would silently receive nothing (the
+    native pass writes into reshape(-1)'s copy) — must raise instead."""
+    src = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    backing = np.empty((2, 8, 3), np.uint8)
+    out = backing[:, ::2, :]              # non-contiguous view
+    with pytest.raises(ValueError, match="contiguous"):
+        staging.bgr_to_rgb(src, out=out)

@@ -76,3 +76,23 @@ def test_chunk_divisibility_enforced(params):
     with pytest.raises(ValueError):
         TemporalShardedStabilizer(CFG.replace(chunk_frames=12), params,
                                   mesh)
+
+
+def test_local_shard_shorter_than_halo_rejected():
+    """Default config (chunk_frames=16, window=5) on 8 devices gives
+    2 local frames < window-1=4: the single-left-neighbor halo exchange
+    cannot supply the history, so the constructor must reject it with a
+    clear message instead of a deep shard_map broadcast error."""
+    import jax
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.models import motion_cnn
+    from dvsg_tpu.parallel import mesh as mesh_lib
+    from dvsg_tpu.parallel.temporal import TemporalShardedStabilizer
+
+    cfg = StabilizeConfig()        # window=5, chunk_frames=16
+    params = motion_cnn.init_params(cfg.model, jax.random.key(0))
+    mesh = mesh_lib.make_mesh()
+    if mesh.devices.size < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    with pytest.raises(ValueError, match="window-1"):
+        TemporalShardedStabilizer(cfg, params, mesh)
