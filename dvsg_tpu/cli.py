@@ -214,7 +214,7 @@ def stabilize_main(argv=None) -> int:
                         "for the input resolution, see "
                         "config.auto_chunk_frames)")
     p.add_argument("--warp-impl", choices=("auto", "pallas", "lax"),
-                   default="auto")
+                   default=None, help="warp kernel (default: auto)")
     p.add_argument("--overlap", action="store_true",
                    help="overlap host decode/encode with device compute")
     p.add_argument("--platform", default=None,
@@ -227,7 +227,7 @@ def stabilize_main(argv=None) -> int:
                         "only first pass over the input picks the minimal "
                         "crop that hides every border (two-pass, like "
                         "vidstab detect/transform)")
-    p.add_argument("--strength", type=float, default=1.0,
+    p.add_argument("--strength", type=float, default=None,
                    help="stabilization strength: 1 = full correction "
                         "(default), 0 = passthrough, values between keep "
                         "some of the original camera motion")
@@ -258,11 +258,36 @@ def stabilize_main(argv=None) -> int:
               "time; re-export with dvsg-export --border-crop",
               file=sys.stderr)
         return 2
+    if args.artifact:
+        # Same rationale as --border-crop above: these are baked into the
+        # exported program, so accepting-and-ignoring them would silently
+        # change behavior vs what the user asked for.
+        baked = [name for name, given in
+                 (("--strength", args.strength is not None),
+                  ("--chunk-frames", args.chunk_frames is not None),
+                  ("--warp-impl", args.warp_impl is not None)) if given]
+        if baked:
+            print(f"ERROR: {', '.join(baked)}: baked into the artifact at "
+                  "export time; re-export with dvsg-export, or stabilize "
+                  "from a checkpoint", file=sys.stderr)
+            return 2
+    strength = 1.0 if args.strength is None else args.strength
+    warp_impl = args.warp_impl or "auto"
     if not args.artifact:
         _resolve_preset(args)
     if args.overlap and args.resume_dir:
         print("ERROR: --overlap has no resume support; drop --overlap for "
               "a resumable run (or --resume-dir for an overlapped one)",
+              file=sys.stderr)
+        return 2
+    from dvsg_tpu.utils.video_io import is_container_path
+    if args.resume_dir and is_container_path(args.output):
+        # Opening cv2.VideoWriter on an existing container TRUNCATES it, so
+        # a crashed resumable job would lose its partial output the moment
+        # the re-run starts — and then fail the appendability check anyway.
+        # Refuse before any writer is constructed.
+        print("ERROR: --resume-dir needs a frame-directory --output "
+              "(video containers cannot be appended to on resume)",
               file=sys.stderr)
         return 2
 
@@ -304,7 +329,7 @@ def stabilize_main(argv=None) -> int:
             print("WARNING: no --checkpoint given; using an untrained "
                   "(identity) model", file=sys.stderr)
 
-        if _bad_strength(args.strength):
+        if _bad_strength(strength):
             return 2
         chunk = args.chunk_frames or _auto_chunk(reader.height,
                                                  reader.width)
@@ -312,14 +337,14 @@ def stabilize_main(argv=None) -> int:
             # Pass 1 shares chunking/strength with pass 2 so both passes
             # predict identical offsets (pipeline/autocrop.py).
             scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                                       warp_impl=args.warp_impl,
-                                       strength=args.strength)
+                                       warp_impl=warp_impl,
+                                       strength=strength)
             border_crop = _run_autocrop_scan(scan_cfg, params,
                                              [args.input], video_io)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                              warp_impl=args.warp_impl,
+                              warp_impl=warp_impl,
                               border_crop=border_crop,
-                              strength=args.strength)
+                              strength=strength)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)
@@ -477,6 +502,18 @@ def stabilize_batch_main(argv=None) -> int:
     writers = []
     try:
         h, w = readers[0].shape
+        for i, r in enumerate(readers):
+            if r.shape != (h, w):
+                # Fail BEFORE any writer is constructed: opening the
+                # writers creates/truncates every output file, so a doomed
+                # mixed-resolution batch would clobber pre-existing outputs
+                # (stabilize_multi would reject the batch right after).
+                print(f"ERROR: all clips must share one resolution for a "
+                      f"batch: {args.inputs[i]} is {r.shape[1]}x"
+                      f"{r.shape[0]}, {args.inputs[0]} is {w}x{h}; run "
+                      "them as separate jobs (or via dvsg-serve, which "
+                      "groups by resolution)", file=sys.stderr)
+                return 2
         # The auto pick keys on clips-per-device: that is how many chunks
         # stack into one device program.
         clips_per_dev = len(args.inputs) // (n_dev if mesh is not None

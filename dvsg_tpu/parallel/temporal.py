@@ -26,7 +26,7 @@ from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.ops import resize as resize_ops
 from dvsg_tpu.ops import warp as warp_ops
 from dvsg_tpu.parallel.mesh import DATA_AXIS
-from dvsg_tpu.pipeline.stabilize import initial_halo, predict_chunk_offsets
+from dvsg_tpu.pipeline.stabilize import predict_chunk_offsets
 
 
 def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
@@ -120,20 +120,15 @@ class TemporalShardedStabilizer:
         self._fn = make_temporal_chunk_fn(cfg, mesh)
 
     def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
-        from dvsg_tpu.pipeline.stabilize import fetch_frames, put_frames
-        total = frames_u8.shape[0]
-        if total == 0:
+        from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
+        if frames_u8.shape[0] == 0:
             return frames_u8
-        halo = initial_halo(self.cfg, frames_u8[0])
-        t_chunk = self.cfg.chunk_frames
-        outs = []
-        for start in range(0, total, t_chunk):
-            chunk = frames_u8[start:start + t_chunk]
-            n_valid = chunk.shape[0]
-            if n_valid < t_chunk:
-                pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            out, tails = self._fn(self.params, put_frames(chunk), halo)
-            halo = tails[-1]
-            outs.append(fetch_frames(out[:n_valid]))
-        return np.concatenate(outs, axis=0)
+        # Ride the shared chunk/pad/dispatch/fetch driver as a batch of
+        # one clip (and inherit its one-chunk D2H pipelining); the adapter
+        # maps the driver's (B, ...) halo-carry convention onto this
+        # surface's (shard-stacked tails → take the LAST shard's tail).
+        def fn(params, frames_dev, halos):
+            out, tails = self._fn(params, frames_dev[0], halos[0])
+            return out[None], tails[-1][None]
+        return drive_chunked_batch(fn, self.params, self.cfg,
+                                   frames_u8[None])[0]

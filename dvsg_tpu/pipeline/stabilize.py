@@ -267,6 +267,14 @@ class Stabilizer:
         streaming halo) is flushed at every chunk boundary, and an
         interrupted job restarts from the last flushed chunk
         (SURVEY.md §5.3). Requires a frame-directory output.
+
+        Stage-timer caveat: the "compute" stage ends at
+        ``block_until_ready``, which some transports (the axon tunnel)
+        release EARLY — residual device time then lands in the following
+        "d2h" stage. Per-stage numbers are exact on standard PJRT
+        backends; on such transports read compute+d2h as one bucket
+        (bench.py times the device program by fetching a dependent value
+        for this reason).
         """
         timer = timer or StageTimer()
         t_chunk = self.cfg.chunk_frames

@@ -1,10 +1,10 @@
 """Checkpoint save/restore via orbax (SURVEY.md §5.4).
 
 The reference restores framework-native pretrained weights (SURVEY.md §1
-L1; reference mount empty — citation unavailable). Here: orbax for params,
-a JSON sidecar for the model config so a checkpoint is self-describing, and
-a small JSON resume record for streaming jobs (chunk index) so long-video
-runs restart at the last flushed chunk (SURVEY.md §5.3).
+L1; reference mount empty — citation unavailable). Here: orbax for params
+and a JSON sidecar for the model config so a checkpoint is self-describing.
+(Streaming-job resume records live with the streaming loop itself —
+pipeline/stabilize.py writes ONE atomic resume_state.npz per chunk.)
 """
 
 from __future__ import annotations
@@ -143,22 +143,3 @@ def load_npz(path: str):
         leaves.append(jax.numpy.asarray(arr, leaf.dtype))
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     return params, cfg
-
-
-def save_resume_state(path: str, record: dict):
-    """Atomic write (tmp + os.replace): a crash mid-write must leave the
-    previous valid record, not a truncated one — the record exists
-    precisely so crashed jobs can resume."""
-    p = os.path.join(os.path.abspath(path), "resume.json")
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(record, f)
-    os.replace(tmp, p)
-
-
-def load_resume_state(path: str) -> Optional[dict]:
-    p = os.path.join(os.path.abspath(path), "resume.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)

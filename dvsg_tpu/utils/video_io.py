@@ -33,6 +33,15 @@ def is_frame_dir(path: str) -> bool:
     return os.path.isdir(path)
 
 
+def is_container_path(path: str) -> bool:
+    """True when ``path`` would be written as a video container (vs a
+    frame directory). The same extension rule VideoWriter applies —
+    exposed so CLIs can pre-flight resume/append constraints BEFORE
+    constructing a writer (cv2.VideoWriter truncates existing files on
+    open)."""
+    return os.path.splitext(path)[1].lower() in _VIDEO_EXTS
+
+
 def _natural_key(name: str):
     """Sort key treating digit runs numerically, so unpadded numeric frame
     names (frame1, frame2, ..., frame10) keep temporal order."""

@@ -353,3 +353,19 @@ class TestArtifactCLI:
         ])
         assert rc == 2
         assert "already contains the weights" in capsys.readouterr().err
+
+    @pytest.mark.parametrize("flag", [("--strength", "0.5"),
+                                      ("--chunk-frames", "4"),
+                                      ("--warp-impl", "lax")])
+    def test_artifact_rejects_baked_flags(self, tmp_path, clip_dir, capsys,
+                                          flag):
+        """--strength/--chunk-frames/--warp-impl are baked into an
+        exported program: passing them with --artifact must ERROR, not be
+        silently ignored (the output would differ from what was asked)."""
+        from dvsg_tpu import cli
+        rc = cli.stabilize_main([
+            "--input", clip_dir, "--output", str(tmp_path / "o"),
+            "--artifact", "x.dvsgx", *flag,
+        ])
+        assert rc == 2
+        assert "baked into the artifact" in capsys.readouterr().err

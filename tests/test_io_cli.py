@@ -143,6 +143,44 @@ class TestCLI:
         assert rc == 2
         assert "no resume support" in capsys.readouterr().err
 
+    def test_resume_into_container_rejected_before_truncation(
+            self, tmp_path, capsys):
+        """--resume-dir with a container output must fail BEFORE the
+        writer opens: cv2.VideoWriter truncates on open, so a resumed
+        job would destroy the partial output it came to finish."""
+        out = tmp_path / "partial.mp4"
+        out.write_bytes(b"partial output from the crashed run")
+        rc = cli.stabilize_main([
+            "--input", "whatever", "--output", str(out),
+            "--resume-dir", str(tmp_path / "r")])
+        assert rc == 2
+        assert "frame-directory" in capsys.readouterr().err
+        assert out.read_bytes() == b"partial output from the crashed run"
+
+    def test_batch_mixed_resolution_rejected_before_writers(
+            self, tmp_path, clip_u8, capsys):
+        """A mixed-resolution batch must fail before ANY output file is
+        created/truncated (writers would clobber pre-existing outputs
+        for a run that does no work)."""
+        frames, _ = clip_u8
+        a = str(tmp_path / "a_in")
+        b = str(tmp_path / "b_in")
+        with video_io.VideoWriter(a, 64, 48) as w:
+            w.write_batch(frames)
+        with video_io.VideoWriter(b, 32, 32) as w:
+            w.write_batch(np.zeros((4, 32, 32, 3), np.uint8))
+        out_a, out_b = tmp_path / "a.avi", tmp_path / "b.avi"
+        out_a.write_bytes(b"keep me")
+        rc = cli.stabilize_batch_main([
+            "--inputs", a, b, "--outputs", str(out_a), str(out_b),
+            "--platform", "cpu",
+            "--model-size", "32", "32", "--grid-size", "8", "8",
+            "--window", "3", "--chunk-frames", "4", "--warp-impl", "lax"])
+        assert rc == 2
+        assert "share one resolution" in capsys.readouterr().err
+        assert out_a.read_bytes() == b"keep me"
+        assert not out_b.exists()
+
     def test_unknown_command(self):
         assert cli.main(["frobnicate"]) == 2
 

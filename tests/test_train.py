@@ -93,9 +93,3 @@ def test_full_train_state_resume_keeps_optimizer(tmp_path):
         jax.device_get(full.params), jax.device_get(out.params))
 
 
-def test_resume_state_sidecar(tmp_path):
-    d = tmp_path / "c"
-    d.mkdir()
-    assert ckpt.load_resume_state(str(d)) is None
-    ckpt.save_resume_state(str(d), {"chunk": 12})
-    assert ckpt.load_resume_state(str(d)) == {"chunk": 12}
