@@ -92,20 +92,41 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def pick_n_sub(ho: int, tile_h: int = TILE_H, max_waste: float = 0.10) -> int:
-    """Row-subtiles per grid step: largest of 24/12/8/4/2/1 whose block
-    padding wastes <= max_waste of the output rows. Bigger blocks
-    amortize per-step DMA bookkeeping (n_sub=24 measured 692 vs 714
-    µs/frame at 720p, dma_only 178 vs 251); row-block stripe anchoring
-    coarsens with blk, but even one block per 720p frame leaves the
-    rotation-drift slack positive (~36 px of theta*H drift vs ~83 px,
-    and the coverage guard still catches any violation)."""
-    for n_sub in (24, 12, 8, 4, 2, 1):
+def pick_n_sub(ho: int, tile_h: int = TILE_H, max_blk: int = 768) -> int:
+    """Row-subtiles per grid step: minimize hop = ceil(ho/blk)*blk first,
+    then prefer the LARGEST n_sub at that hop with blk <= max_blk.
+
+    Padded rows are pure waste — the kernel runs the full candidate loop
+    on them before the crop — so minimal hop wins outright (n_sub=1
+    always attains it, so the tie set is never empty): the legacy fixed
+    tuple (24, 12, 8, 4, 2, 1) computed 6.7% dead rows at 720p (hop 768
+    vs 736), 1080p (1152 vs 1088), and 480p (512 vs 480). On-chip
+    interleaved A/B (scripts/kexp_nsub.py, medians of 4 rounds):
+    720p n_sub 23 vs 24 → 579 vs 642 µs/frame; 1080p 17 vs 12 → 1246
+    vs 1448; 480p 15 vs 8 → 266 vs 303 (all parity-exact vs the legacy
+    pick). Among equal-hop choices, bigger blocks amortize per-step
+    DMA bookkeeping (n_sub=24 measured 692 vs 714 µs/frame at 720p vs
+    n_sub=12 at the same hop, dma_only 178 vs 251).
+
+    ``max_blk`` bounds the row-block height, which is the granularity of
+    per-row-block stripe ANCHORING: rotation drifts dx by ~theta*blk px
+    within one block, so one tall block per frame can overflow the
+    3-stripe window — at 1080p a single 1088-row block (n_sub=34)
+    failed coverage on the 0.05-rad probe fixture (production would
+    route to the oracle fallback; the probe's unguarded launch showed
+    the raw mismatch) while 544-row blocks (n_sub=17) were bit-exact at
+    the SAME speed (1241 vs 1246 µs/frame). 768 keeps anchoring at
+    least as fine as the proven legacy picks at every resolution and
+    bounds kernel code size (the sub loop is python-unrolled); the
+    coverage guard still catches any violation."""
+    max_n = max(max_blk // tile_h, 1)
+    best, best_hop = 1, _cdiv(ho, tile_h) * tile_h * 2
+    for n_sub in range(1, min(max_n, _cdiv(ho, tile_h)) + 1):
         blk = tile_h * n_sub
         hop = _cdiv(ho, blk) * blk
-        if (hop - ho) / ho <= max_waste:
-            return n_sub
-    return 1
+        if hop < best_hop or (hop == best_hop and n_sub > best):
+            best, best_hop = n_sub, hop
+    return best
 
 
 def _lane_geometry(cb, tile_h: int, channels: int):

@@ -461,3 +461,36 @@ class TestRandomizedConfigs:
         want = np.asarray(warp_wide._oracle_u8(frames, grids)).astype(int)
         assert np.abs(ours - want).max() <= 1, (
             f"seed={seed} {h}x{w}->{ho}x{wo} ang={ang:.4f}")
+
+
+class TestPickNSub:
+    """pick_n_sub invariants: minimal row padding, bounded block height.
+
+    Padded rows cost full candidate work (scripts/kexp_nsub.py measured
+    the legacy tuple's 6.7% dead rows as ~10% wall at 720p/1080p/480p),
+    and block height is the stripe-anchoring granularity — a single
+    1088-row block at 1080p failed coverage on the 0.05-rad fixture
+    where two 544-row blocks were exact.
+    """
+
+    def test_minimal_hop(self):
+        # hop achieved must equal the minimum possible (n_sub=1's hop).
+        for h in (33, 100, 128, 240, 256, 480, 544, 720, 1080, 1440, 2160):
+            n = warp_wide.pick_n_sub(h)
+            blk = warp_wide.TILE_H * n
+            hop = -(-h // blk) * blk
+            hop_min = -(-h // warp_wide.TILE_H) * warp_wide.TILE_H
+            assert hop == hop_min, (h, n, hop, hop_min)
+
+    def test_block_height_capped(self):
+        for h in (720, 1080, 2160, 4320):
+            assert warp_wide.TILE_H * warp_wide.pick_n_sub(h) <= 768
+
+    def test_known_picks(self):
+        # The measured-on-chip picks of record (kexp_nsub medians):
+        # 720p 23 (579 vs 642 us/frame at 24), 1080p 17 (1246 vs 1448
+        # at 12), 480p 15 (266 vs 303 at 8).
+        assert warp_wide.pick_n_sub(720) == 23
+        assert warp_wide.pick_n_sub(1080) == 17
+        assert warp_wide.pick_n_sub(480) == 15
+        assert warp_wide.pick_n_sub(2160) == 17
