@@ -254,14 +254,13 @@ def main():
         # iters sized so the one-RTT fetch correction stays a small share
         # of each timed window (2160p at T=2 swung ~30% run-to-run at 15
         # iters: ~0.27 s window vs ~56 ms RTT).
+        # T per resolution = auto_chunk_frames' measured picks (re-swept
+        # 2026-08-20 post exact-fit row blocking: 480p 64 -> 3050 fps vs
+        # 2645 at 16; 1080p T=16 791 vs 768 at 8 / 777 at 32; 2160p T=4
+        # 225 vs 209 at 2 / 212 at 8 — scripts/probe_chunk_sizes.py).
         for name, (sh, sw, t, iters) in {
-                "480p": (480, 854, 16, 60),
-                # 1080p chunk-size probe (on-chip, 2026-08-18): T=16 685.5
-                # fps vs T=8 678.4 / T=32 669.9; fetch fits since the
-                # compact-coord fix (commit 08a4275).
+                "480p": (480, 854, 64, 40),
                 "1080p": (1080, 1920, 16, 60),
-                # 2160p probe: T=4 190-203 fps vs T=2 179-185, T=8 180,
-                # T=6 168 (two confirmation runs, 2026-08-18).
                 "2160p": (2160, 3840, 4, 60)}.items():
             cfg_s = StabilizeConfig(model=mcfg, chunk_frames=t,
                                     warp_impl="auto")

@@ -89,15 +89,17 @@ def auto_chunk_frames(height: int, width: int, n_clips: int = 1,
 
     Longer chunks amortize the per-chunk CNN forward and halo carry, until
     the chunk's HBM footprint and result-fetch size start to dominate. The
-    bands below come from on-chip v5e sweeps (scripts/probe_chunk_sizes.py,
-    2026-08-18): 480p T=16 (2678 vs 2532 at T=32) / 720p T=32 (1425 vs
-    1340 at T=16, 1388 at T=48; T=64 OOMs SMEM — the scalar-prefetch
-    tables scale with T) / 1080p T=16 (686 vs 678 at T=8) / 2160p T=4 (190 vs
-    185 at T=2, 180 at T=8; confirmed twice). For batched multi-clip
-    programs the per-clip chunk is scaled down so the combined
-    frames-in-flight stay in the same band (8-clip 720p measured fastest
-    at T=16: 1355 vs 1267 at T=8, 1206 at T=4 fps aggregate; T=24+ OOMs
-    HBM).
+    bands below come from on-chip v5e sweeps (scripts/probe_chunk_sizes.py),
+    re-swept 2026-08-20 after the exact-fit row-blocking kernel win
+    shifted the balance toward longer chunks: 480p T=64 (3050 vs 2767 at
+    T=32, 2645 at T=16; T=96+ fails to compile — the scalar-prefetch
+    tables scale with T, same SMEM ceiling as 720p T=64) / 720p T=32
+    (1566 vs 1525 at T=16, 1528 at T=48; T=64 OOMs SMEM) / 1080p T=16
+    (791 vs 768 at T=8, 777 at T=32) / 2160p T=4 (225 vs 209 at T=2, 212
+    at T=8). For batched multi-clip programs the per-clip chunk is scaled
+    down so the combined frames-in-flight stay in the same band (8-clip
+    720p measured fastest at T=16: 1487 vs 1375 at T=8, 1310 at T=4 fps
+    aggregate, re-swept 2026-08-20; T=24+ OOMs HBM).
 
     On CPU (tests, smoke runs) large chunks only slow compilation down;
     the default T=16 is kept.
@@ -106,7 +108,7 @@ def auto_chunk_frames(height: int, width: int, n_clips: int = 1,
         return 16
     px = height * width
     if px <= 600_000:          # <= ~480p
-        t = 16
+        t = 64
     elif px <= 1_300_000:      # ~720p
         t = 32
     elif px <= 2_700_000:      # ~1080p

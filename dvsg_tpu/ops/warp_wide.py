@@ -147,7 +147,9 @@ def _lane_geometry(cb, tile_h: int, channels: int):
 def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
                     channels: int, unroll: int, packed: bool = False,
                     adaptive_tail: bool = False,
-                    stripe_fold: bool = True):
+                    stripe_fold: bool = True,
+                    fold_select: bool = False,
+                    tent_wv: bool = False):
     """Bilinear accumulation for one (tile_h, 128) sub-tile.
 
     ``y``/``xpx`` are source coordinates in padded-plane space (y includes
@@ -181,7 +183,14 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
     720p, 1173 vs 1183 at 1080p — a small consistent win; UNROLL_QUAD
     re-swept under fold (2→545, 3→578), 2 stays. A first measurement
     taken right after an unrelated chip run read 784 — re-measure
-    interleaved before trusting any single probe."""
+    interleaved before trusting any single probe.
+
+    ``fold_select`` / ``tent_wv`` are kexp_offsets probe variants of the
+    folded loop's VPU op mix (not production defaults): a 2-select chain
+    instead of 3 where + 2 OR for the stripe combine, and vertical
+    weights as the tent max(1 - |rf - d|, 0) (4 ops/candidate instead of
+    5; rf = resid + fy rounds, so quantization ties can flip by 1 ulp —
+    parity-risky, measure before considering)."""
     y0 = jnp.floor(y)
     x0 = jnp.floor(xpx)
     fy = y - y0
@@ -231,17 +240,32 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
             hv = t if hv is None else hv + t
         return wv * hv
 
+    if tent_wv:
+        rf = resid.astype(jnp.float32) + fy    # rounds; ties can flip
+
     def contribution_quad(dp):
         # One candidate PAIR (source rows dp, dp+1) from the quad-packed
         # stripes: one gather per stripe yields all four taps. Weights
         # use the TRUE row indices (zero when out of range); only the
         # slice start is clamped in-bounds.
-        wv_a = (jnp.where(resid == dp, 1.0 - fy, 0.0)
-                + jnp.where(resid + 1 == dp, fy, 0.0))
-        wv_b = (jnp.where(resid == dp + 1, 1.0 - fy, 0.0)
-                + jnp.where(resid + 1 == dp + 1, fy, 0.0))
+        if tent_wv:
+            dpf = jnp.float32(0) + dp          # scalar i32 -> f32
+            wv_a = jnp.maximum(1.0 - jnp.abs(rf - dpf), 0.0)
+            wv_b = jnp.maximum(1.0 - jnp.abs(rf - (dpf + 1.0)), 0.0)
+        else:
+            wv_a = (jnp.where(resid == dp, 1.0 - fy, 0.0)
+                    + jnp.where(resid + 1 == dp, fy, 0.0))
+            wv_b = (jnp.where(resid == dp + 1, 1.0 - fy, 0.0)
+                    + jnp.where(resid + 1 == dp + 1, fy, 0.0))
         ds_ = jnp.minimum(dp, dmax + 1)
-        if stripe_fold:
+        if stripe_fold and fold_select:
+            # 2-select chain: each lane owned by exactly one stripe.
+            gs = [jnp.take_along_axis(
+                      stripes[s][0, pl.ds(r0p + ds_, tile_h), :],
+                      loc0m[s], axis=1) for s in range(N_STRIPES)]
+            g = jnp.where(eqs[0], gs[0],
+                          jnp.where(eqs[1], gs[1], gs[2]))
+        elif stripe_fold:
             # Disjoint after masking (one stripe owns each lane): OR-
             # combine the gathers and unpack ONCE; plain weights apply.
             g = None
@@ -251,6 +275,7 @@ def _sub_accumulate(stripes, y, xpx, phase, lane_base, r0p, tile_h: int,
                                jnp.take_along_axis(seg, loc0m[s], axis=1),
                                0)
                 g = gs if g is None else g | gs
+        if stripe_fold:
             b3 = jax.lax.shift_right_logical(g, 24).astype(jnp.float32)
             b2 = jnp.bitwise_and(jax.lax.shift_right_logical(g, 16),
                                  0xFF).astype(jnp.float32)

@@ -9,7 +9,7 @@ variants (grid order, tile height). Numbers feed ARCHITECTURE.md.
 
 Usage: python scripts/kexp_offsets.py [--h 720] [--w 1280] [--batch 8]
        [variants: full unpacked dma_only coord_only no_coord one_candidate
-                  rt_outer nofold]
+                  rt_outer nofold selchain tent selchain_tent]
 """
 import argparse
 import os
@@ -90,7 +90,9 @@ def make_kernel(tile_h, channels, pad_h, n_sub, unroll, h, w, gw, scale,
                 stripes, y, xpx, phase, lane_base, r0 + pad_h,
                 tile_h, channels, unroll, packed=packed,
                 adaptive_tail=(mode == "tail"),
-                stripe_fold=(mode != "nofold"))
+                stripe_fold=(mode != "nofold"),
+                fold_select=mode in ("selchain", "selchain_tent"),
+                tent_wv=mode in ("tent", "selchain_tent"))
             out_ref[0, rows, :] = warp_wide._quantize_u8(acc)
 
     return kernel

@@ -235,7 +235,9 @@ class TestAutoChunkFrames:
 
     def test_bands_match_measured_sweep(self):
         from dvsg_tpu.config import auto_chunk_frames
-        assert auto_chunk_frames(480, 854) == 16
+        # Re-swept 2026-08-20 after the exact-fit row-blocking kernel
+        # win: 480p moved 16 -> 64 (3050 vs 2645 fps); the rest held.
+        assert auto_chunk_frames(480, 854) == 64
         assert auto_chunk_frames(720, 1280) == 32
         assert auto_chunk_frames(1080, 1920) == 16
         assert auto_chunk_frames(2160, 3840) == 4
@@ -247,8 +249,8 @@ class TestAutoChunkFrames:
 
     def test_batch_scales_down_per_clip_chunk(self):
         from dvsg_tpu.config import auto_chunk_frames
-        # 8-clip 720p measured fastest at T=16 (1355 fps aggregate vs
-        # 1267 at T=8, 1206 at T=4, on-chip 2026-08-18).
+        # 8-clip 720p measured fastest at T=16 (1487 fps aggregate vs
+        # 1375 at T=8, 1310 at T=4, re-swept on-chip 2026-08-20).
         assert auto_chunk_frames(720, 1280, n_clips=8) == 16
         # never below 2, even for very large batches
         assert auto_chunk_frames(2160, 3840, n_clips=64) == 2
