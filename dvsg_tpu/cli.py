@@ -373,11 +373,19 @@ def stabilize_main(argv=None) -> int:
     for name, s in timer.summary().items():
         print(f"  {name:8s} total {s['total_s']:7.2f}s  "
               f"mean {s['mean_ms']:7.2f}ms x{s['count']}")
+    if stab.coverage_fallbacks:
+        print(f"  NOTE: {stab.coverage_fallbacks}/{stab.chunks_seen} "
+              "chunks exceeded the fused kernel's coverage band and ran "
+              "through the exact (slower) fallback path — output is "
+              "correct; this much warp per chunk is unusual for "
+              "stabilization corrections")
     if args.metrics_out:
         write_metrics_jsonl(args.metrics_out, {
             "kind": "stabilize", "frames": n, "wall_s": wall, "fps": fps,
             "width": reader.width, "height": reader.height,
             "warp_impl": cfg.warp_impl, "stages": timer.summary(),
+            "coverage_fallback_chunks": stab.coverage_fallbacks,
+            "chunks": stab.chunks_seen,
         })
     return 0
 

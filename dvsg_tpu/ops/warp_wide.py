@@ -630,7 +630,7 @@ def _offsets_rows(offsets, h, w, blk):
             jnp.pad(xoffr, lane_pad, mode="edge"))
 
 
-def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb):
+def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb, xp=jnp):
     """Coverage guard + stripe bases from the COARSE offsets alone.
 
     The dense x-coordinate field is a bilinear upsample of the (gh, gw)
@@ -644,11 +644,16 @@ def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb):
     the slack is <= the offset field's variation across one pixel-block's
     coarse support, negligible for smooth stabilization warps.
 
+    ``xp`` selects the array backend: jnp on the device path (default);
+    `offsets_coverage_ok` passes numpy so pipeline drivers can mirror
+    the guard on host without a device round trip — one body, two
+    backends, no semantic fork.
+
     Returns (sbase (B, n_cb, n_rt) i32, ok scalar bool).
     """
     b, gh, gw, _ = offsets.shape
     s = 0.5 * (w - 1)
-    xc = offsets[..., 0].astype(jnp.float32) * np.float32(s)  # px units
+    xc = offsets[..., 0].astype(xp.float32) * np.float32(s)  # px units
     a_x = scale
     b_x = (1.0 - scale) * 0.5 * (w - 1)
     n_rt = hop // blk
@@ -666,16 +671,16 @@ def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb):
         k_lo = gy_idx(r_lo)
         k_hi = min(gy_idx(r_hi) + 1, gh - 1)
         seg = xc[:, k_lo:k_hi + 1, :]
-        rmin = jnp.min(seg, axis=1)                 # (b, gw)
-        rmax = jnp.max(seg, axis=1)
+        rmin = xp.min(seg, axis=1)                 # (b, gw)
+        rmax = xp.max(seg, axis=1)
         lmins, lmaxs = [], []
         for cb in range(n_cb):
             p0 = (cb * TILE_W) // c
             p1 = (cb * TILE_W + TILE_W - 1) // c
             c_lo = gx_idx(p0)
             c_hi = min(gx_idx(p1) + 1, gw - 1)
-            omin = jnp.min(rmin[:, c_lo:c_hi + 1], axis=1)   # (b,)
-            omax = jnp.max(rmax[:, c_lo:c_hi + 1], axis=1)
+            omin = xp.min(rmin[:, c_lo:c_hi + 1], axis=1)   # (b,)
+            omax = xp.max(rmax[:, c_lo:c_hi + 1], axis=1)
             # EPS_PX widens the bound before floor: the kernel evaluates
             # the same coordinate through a different f32 op order (matmul
             # upsample + in-register lerp), so its value can sit a few
@@ -684,17 +689,51 @@ def _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb):
             # window by one lane while ok stays True. 1e-3 px is orders of
             # magnitude above f32 rounding at any real resolution and only
             # ever WIDENS the window check (conservative direction).
-            xmin = jnp.clip(a_x * p0 + b_x + omin - _EPS_PX, 0.0, w - 1)
-            xmax = jnp.clip(a_x * p1 + b_x + omax + _EPS_PX, 0.0, w - 1)
-            lmins.append(c * jnp.floor(xmin))                # + phase >= 0
-            lmaxs.append(c * jnp.floor(xmax) + (c - 1) + c)  # +C: x1 tap
-        lmin_cols.append(jnp.stack(lmins, axis=1))           # (b, n_cb)
-        lmax_cols.append(jnp.stack(lmaxs, axis=1))
-    lmin = jnp.stack(lmin_cols, axis=2).astype(jnp.int32)    # (b,n_cb,n_rt)
-    lmax = jnp.stack(lmax_cols, axis=2).astype(jnp.int32)
-    sbase = jnp.clip(lmin // TILE_W, 0, n_lb - N_STRIPES)
-    ok = jnp.all(lmax - sbase * TILE_W < N_STRIPES * TILE_W)
+            xmin = xp.clip(a_x * p0 + b_x + omin - _EPS_PX, 0.0, w - 1)
+            xmax = xp.clip(a_x * p1 + b_x + omax + _EPS_PX, 0.0, w - 1)
+            lmins.append(c * xp.floor(xmin))                # + phase >= 0
+            lmaxs.append(c * xp.floor(xmax) + (c - 1) + c)  # +C: x1 tap
+        lmin_cols.append(xp.stack(lmins, axis=1))           # (b, n_cb)
+        lmax_cols.append(xp.stack(lmaxs, axis=1))
+    lmin = xp.stack(lmin_cols, axis=2).astype(xp.int32)    # (b,n_cb,n_rt)
+    lmax = xp.stack(lmax_cols, axis=2).astype(xp.int32)
+    sbase = xp.clip(lmin // TILE_W, 0, n_lb - N_STRIPES)
+    ok = xp.all(lmax - sbase * TILE_W < N_STRIPES * TILE_W)
     return sbase, ok
+
+
+def offsets_coverage_ok(offsets, h: int, w: int, c: int = 3,
+                        border_crop: float = 0.0,
+                        tile_h: int = TILE_H) -> bool:
+    """Host-side mirror of ``warp_u8_offsets``' runtime coverage guard.
+
+    Pure numpy — no device dispatch (the axon tunnel makes even a scalar
+    round trip cost milliseconds), same body as the device predicate
+    (`_offsets_bounds` with ``xp=np``), same geometry formulas as the
+    kernel launch (pinned by tests/test_warp_wide.py).
+
+    Returns True iff the guard keeps the fused kernel's output for this
+    (offsets, geometry); False means the chunk rides the exact lax
+    oracle — same pixels, ~40x slower. Pipeline drivers use it to
+    SURFACE fallbacks (Stabilizer.coverage_fallbacks, CLI warning);
+    the device-side guard stays authoritative for correctness.
+    """
+    offsets = np.asarray(offsets, np.float32)
+    scale = 1.0 - 2.0 * border_crop
+    n_sub = pick_n_sub(h, tile_h)
+    blk = tile_h * n_sub
+    hop = _cdiv(h, blk) * blk
+    wop = _cdiv(w, TILE_W) * TILE_W
+    # Lane count of the padded wide plane, mirroring _prep_planes: both
+    # the packed and unpacked layouts end at (w + pad_r) * c lanes.
+    wmult = TILE_W // math.gcd(TILE_W, c)
+    pad_r = (-w) % wmult
+    if pad_r < 1:
+        pad_r += wmult
+    n_lb = ((w + pad_r) * c) // TILE_W
+    _, ok = _offsets_bounds(offsets, h, w, c, scale, blk, hop, wop, n_lb,
+                            xp=np)
+    return bool(ok)
 
 
 def _launch_offsets(planes, yoffr, xoffr, sbase, h, w, wop, c, gw, scale,

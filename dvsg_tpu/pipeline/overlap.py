@@ -86,14 +86,19 @@ def stabilize_stream_overlapped(stab: Stabilizer,
 
     halo = None
     written = 0
-    pending = None  # (device_output, n_valid) awaiting fetch
+    hwc = None      # (H, W, C) of the stream, for the coverage note
+    pending = None  # (device_output, offsets, n_valid) awaiting fetch
 
     def flush(p):
         nonlocal written
-        out_dev, n_valid = p
+        out_dev, offs, n_valid = p
         with timer.stage("d2h"):
             host = fetch_frames(out_dev[:n_valid])
         encode_q.put(host)
+        # Coverage observability (Stabilizer._note_coverage): done at
+        # flush time, where we already block on this chunk's results —
+        # noting at dispatch would serialize the overlap.
+        stab._note_coverage(offs, *hwc)
         written += n_valid
 
     def _drain_decode():
@@ -116,16 +121,18 @@ def stabilize_stream_overlapped(stab: Stabilizer,
             n_valid = chunk.shape[0]
             if halo is None:
                 halo = initial_halo(cfg, chunk[0])
+            if hwc is None:
+                hwc = chunk.shape[1:]
             if n_valid < t_chunk:
                 pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
             with timer.stage("dispatch"):
-                out_dev, halo, _ = stab._chunk(put_frames(chunk), halo)
+                out_dev, halo, offs = stab._chunk(put_frames(chunk), halo)
             # Fetch the PREVIOUS chunk only now — its compute overlapped
             # with this chunk's decode and dispatch.
             if pending is not None:
                 flush(pending)
-            pending = (out_dev, n_valid)
+            pending = (out_dev, offs, n_valid)
 
         if pending is not None:
             flush(pending)

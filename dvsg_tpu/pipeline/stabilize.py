@@ -228,6 +228,31 @@ class Stabilizer:
     def __init__(self, cfg: StabilizeConfig, params):
         self.cfg = cfg
         self.params = params
+        # Coverage observability (see _note_coverage): how many chunks'
+        # offsets exceeded the fused kernel's stripe-coverage band and
+        # therefore rode the exact-but-~40x-slower lax oracle via the
+        # device guard. Output stays correct either way; surfacing the
+        # count turns "mysteriously slow clip" into a diagnosis.
+        self.chunks_seen = 0
+        self.coverage_fallbacks = 0
+
+    def _note_coverage(self, offsets, h: int, w: int, c: int) -> None:
+        """Host-side mirror of the device coverage guard, per chunk.
+
+        Pure numpy on the already-computed coarse offsets
+        (ops/warp_wide.offsets_coverage_ok) — one small D2H fetch, no
+        device dispatch. Only meaningful when the Pallas path is in use;
+        the lax path has no coverage contract.
+        """
+        self.chunks_seen += 1
+        from dvsg_tpu.ops.warp import resolve_impl
+        if not resolve_impl(self.cfg.warp_impl).startswith("pallas"):
+            return
+        from dvsg_tpu.ops import warp_wide
+        if not warp_wide.offsets_coverage_ok(
+                np.asarray(offsets), h, w, c=c,
+                border_crop=self.cfg.border_crop):
+            self.coverage_fallbacks += 1
 
     def _chunk(self, dev_chunk, halo):
         """One device step. The single dispatch point for every driver
@@ -250,8 +275,10 @@ class Stabilizer:
             if n_valid < t_chunk:  # pad to the static chunk shape
                 pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            out, halo, _ = self._chunk(put_frames(chunk), halo)
+            out, halo, offs = self._chunk(put_frames(chunk), halo)
             outs.append(fetch_frames(out[:n_valid]))
+            self._note_coverage(offs, chunk.shape[1], chunk.shape[2],
+                                chunk.shape[3])
         return np.concatenate(outs, axis=0)
 
     def stabilize_stream(self, reader: video_io.VideoReader,
@@ -314,12 +341,14 @@ class Stabilizer:
             with timer.stage("h2d"):
                 dev_chunk = put_frames(chunk)
             with timer.stage("compute"):
-                out, halo, _ = self._chunk(dev_chunk, halo)
+                out, halo, offs = self._chunk(dev_chunk, halo)
                 out.block_until_ready()
             with timer.stage("d2h"):
                 host_out = fetch_frames(out[:n_valid])
             with timer.stage("encode"):
                 writer.write_batch(host_out)
+            self._note_coverage(offs, chunk.shape[1], chunk.shape[2],
+                                chunk.shape[3])
             written += n_valid
             if resume_dir:
                 tmp = os.path.join(resume_dir, "resume_state.tmp.npz")

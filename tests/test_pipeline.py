@@ -230,3 +230,82 @@ class TestOverlappedFailureCleanup:
                 stabilize_stream_overlapped(stab, r, w)
         # Both workers joined: thread count returns to the baseline.
         assert threading.active_count() == before
+
+
+class TestCoverageObservability:
+    """Stabilizer surfaces device-guard fallbacks: chunks whose offsets
+    exceed the fused kernel's stripe-coverage band ride the exact lax
+    oracle (correct, ~40x slower) — the drivers count them host-side
+    (ops/warp_wide.offsets_coverage_ok) so the CLI can say WHY a clip
+    was slow instead of leaving a silent 40x mystery."""
+
+    W = 256   # wide enough that alternating +-0.9 column offsets
+    H = 32    # overflow the 3-stripe window (>= ~83 px dx variation)
+
+    def _bad_offsets(self, t):
+        off = np.zeros((t, 4, 16, 2), np.float32)
+        off[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
+        return jnp.asarray(off)
+
+    def _rigged(self, cfg, params):
+        bad = self._bad_offsets(cfg.chunk_frames)
+
+        class Rigged(Stabilizer):
+            def _chunk(self, dev_chunk, halo):
+                out, new_halo, _ = super()._chunk(dev_chunk, halo)
+                return out, new_halo, bad
+
+        return Rigged(cfg, params)
+
+    def test_counts_fallback_chunks(self, params, rng):
+        from dvsg_tpu.ops import warp_wide
+        cfg = CFG.replace(warp_impl="pallas_interpret")
+        frames = (rng.random((8, self.H, self.W, 3)) * 255
+                  ).astype(np.uint8)
+        assert not warp_wide.offsets_coverage_ok(
+            np.asarray(self._bad_offsets(1)), self.H, self.W)
+
+        stab = self._rigged(cfg, params)
+        stab.stabilize_clip(frames)
+        assert stab.chunks_seen == 2
+        assert stab.coverage_fallbacks == 2
+
+    def test_smooth_offsets_do_not_count(self, params, rng):
+        cfg = CFG.replace(warp_impl="pallas_interpret")
+        frames = (rng.random((8, self.H, self.W, 3)) * 255
+                  ).astype(np.uint8)
+        stab = Stabilizer(cfg, params)   # untrained model: ~0 offsets
+        stab.stabilize_clip(frames)
+        assert stab.chunks_seen == 2
+        assert stab.coverage_fallbacks == 0
+
+    def test_lax_impl_has_no_coverage_contract(self, params, rng):
+        frames = (rng.random((4, self.H, self.W, 3)) * 255
+                  ).astype(np.uint8)
+        stab = self._rigged(CFG, params)   # CFG is warp_impl="lax"
+        stab.stabilize_clip(frames)
+        assert stab.chunks_seen == 1
+        assert stab.coverage_fallbacks == 0
+
+    def test_stream_driver_counts_too(self, params, rng, tmp_path):
+        from dvsg_tpu.utils import video_io
+        cfg = CFG.replace(warp_impl="pallas_interpret")
+        frames = (rng.random((8, self.H, self.W, 3)) * 255
+                  ).astype(np.uint8)
+        import cv2
+        src = tmp_path / "in"
+        src.mkdir()
+        for i, f in enumerate(frames):
+            cv2.imwrite(str(src / f"{i:04d}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        reader = video_io.VideoReader(str(src))
+        out_dir = tmp_path / "out"
+        out_dir.mkdir()
+        writer = video_io.VideoWriter(str(out_dir), self.W, self.H)
+        stab = self._rigged(cfg, params)
+        n = stab.stabilize_stream(reader, writer)
+        reader.close()
+        writer.close()
+        assert n == 8
+        assert stab.chunks_seen == 2
+        assert stab.coverage_fallbacks == 2

@@ -494,3 +494,44 @@ class TestPickNSub:
         assert warp_wide.pick_n_sub(1080) == 17
         assert warp_wide.pick_n_sub(480) == 15
         assert warp_wide.pick_n_sub(2160) == 17
+
+
+class TestCoverageMirror:
+    """offsets_coverage_ok: the host-side numpy mirror of the device
+    coverage guard (pipeline observability — Stabilizer counts oracle
+    fallbacks with it). One body serves both backends
+    (_offsets_bounds(xp=...)), so the mirror must agree with the
+    internal predicate at the exact kernel-launch geometry for passing
+    AND violating fields, across shapes and crops."""
+
+    def _internal_ok(self, off, h, w, crop=0.0):
+        scale = 1.0 - 2.0 * crop
+        n_sub = warp_wide.pick_n_sub(h)
+        blk = warp_wide.TILE_H * n_sub
+        hop = -(-h // blk) * blk
+        wop = -(-w // warp_wide.TILE_W) * warp_wide.TILE_W
+        planes, _, _ = warp_wide._prep_planes(
+            jnp.zeros((off.shape[0], h, w, 3), jnp.uint8),
+            warp_wide.TILE_H, packed=True)
+        _, ok = warp_wide._offsets_bounds(
+            jnp.asarray(off), h, w, 3, scale, blk, hop, wop,
+            planes.shape[2] // warp_wide.TILE_W)
+        return bool(ok)
+
+    @pytest.mark.parametrize("h,w", [(96, 256), (300, 130), (720, 1280)])
+    def test_agrees_with_device_predicate(self, rng, h, w):
+        for amp, crop in [(0.15, 0.0), (0.15, 0.05), (1.8, 0.0)]:
+            off = (rng.random((2, 6, 8, 2), dtype=np.float32) - 0.5) * amp
+            want = self._internal_ok(off, h, w, crop)
+            got = warp_wide.offsets_coverage_ok(off, h, w,
+                                                border_crop=crop)
+            assert got == want, (h, w, amp, crop)
+
+    def test_flags_the_violating_field(self):
+        # The alternate-sign column fixture of
+        # test_guard_violating_offsets_fall_back_to_oracle.
+        off = np.zeros((1, 4, 16, 2), np.float32)
+        off[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
+        assert not warp_wide.offsets_coverage_ok(off, 32, 640)
+        assert warp_wide.offsets_coverage_ok(
+            np.zeros((1, 4, 4, 2), np.float32), 32, 640)
