@@ -564,12 +564,19 @@ def stabilize_batch_main(argv=None) -> int:
         print(f"FAILED clip {args.inputs[i]} after {written[i]} frames: "
               f"{result.errors[i]} — re-run it (frame-dir outputs resume "
               "at the written count)", file=sys.stderr)
+    cov = result.coverage_fallback_chunks or []
+    if any(cov):
+        worst = sorted(range(len(cov)), key=lambda i: -cov[i])[:4]
+        print("  NOTE: some chunks exceeded the fused kernel's coverage "
+              "band and ran through the exact (slower) fallback path — "
+              + ", ".join(f"clip {i}: {cov[i]}" for i in worst if cov[i]))
     if args.metrics_out:
         write_metrics_jsonl(args.metrics_out, {
             "kind": "stabilize_batch", "clips": len(written),
             "frames": total, "wall_s": wall, "fps": fps,
             "devices": n_dev, "mesh": mesh is not None,
             "failed_clips": result.failed_clips,
+            "coverage_fallback_chunks": cov,
         })
     return 0 if result.ok else 3
 

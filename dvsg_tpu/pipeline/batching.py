@@ -65,7 +65,12 @@ class BatchStabilizer:
         self.window_s = window_s
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._fns: Dict[tuple, object] = {}
-        self.stats = {"requests": 0, "batches": 0, "max_group": 0}
+        self.stats = {"requests": 0, "batches": 0, "max_group": 0,
+                      # chunks (summed over real clips) that exceeded the
+                      # fused kernel's coverage band and rode the exact
+                      # lax-oracle fallback (correct, ~40x slower) —
+                      # surfaces "why was this request slow" on /healthz.
+                      "coverage_fallback_chunks": 0}
         self._closed = False
         self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -189,9 +194,11 @@ class BatchStabilizer:
         # drive_chunked_batch pipelines D2H one chunk behind dispatch and
         # fetches only the b REAL clips — the pow2 padding clips must be
         # computed (one program per pow2 batch) but never transferred.
+        cov: list = []
         full = drive_chunked_batch(self._fn(bp), self.params, self.cfg,
-                                   batch, fetch_clips=b)
+                                   batch, fetch_clips=b, coverage_out=cov)
         self.stats["batches"] += 1
+        self.stats["coverage_fallback_chunks"] += sum(cov)
         for i, r in enumerate(items):
             # copy: a slice of `full` is a VIEW that would pin the whole
             # (b, max_len, H, W, C) batch for as long as any caller holds

@@ -44,10 +44,17 @@ class MultiClipResult:
     applies). ``errors[i]`` is the exception that killed clip i's decode
     or encode, or None; a failed clip stops consuming device output but
     the REST of the batch runs to completion.
+
+    ``coverage_fallback_chunks[i]`` counts clip i's chunks whose offsets
+    exceeded the fused warp kernel's stripe-coverage band — those chunks
+    rode the exact lax oracle via the device guard (correct output,
+    ~40x slower; see Stabilizer._note_coverage for the single-clip
+    analog). Zeros on the lax path, which has no coverage contract.
     """
 
     frames_written: List[int]
     errors: List[Optional[Exception]]
+    coverage_fallback_chunks: Optional[List[int]] = None
 
     @property
     def failed_clips(self) -> List[int]:
@@ -183,10 +190,11 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     done = [False] * n
     last = [None] * n           # last frame of each clip for padding
 
+    cov = [0] * n               # per-clip coverage-fallback chunk counts
     try:
         _run_main_loop(cfg, n, t_chunk, h, w, fn, params, timer,
                        dec_qs, enc_qs, dec_errors, enc_errors,
-                       done, last, _drain_decode)
+                       done, last, _drain_decode, cov)
     except BaseException:
         # The device step (or a fetch) died mid-run: stop + drain the
         # decode workers and sentinel the encoders BEFORE the exception
@@ -211,7 +219,7 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     # All workers have joined: written[] is final.
     merged = [d if d is not None else e
               for d, e in zip(dec_errors, enc_errors)]
-    result = MultiClipResult(written, merged)
+    result = MultiClipResult(written, merged, cov)
     if result.failed_clips and len(result.failed_clips) == n:
         raise merged[result.failed_clips[0]]
     return result
@@ -219,15 +227,27 @@ def stabilize_multi(cfg: StabilizeConfig, params,
 
 def _run_main_loop(cfg, n, t_chunk, h, w, fn, params, timer, dec_qs,
                    enc_qs, dec_errors, enc_errors, done, last,
-                   _drain_decode) -> None:
+                   _drain_decode, cov) -> None:
+    from dvsg_tpu.ops.warp import resolve_impl
+    check_cov = resolve_impl(cfg.warp_impl).startswith("pallas")
     halos = None
-    pending = None              # (device out, valid list) to fetch later
+    pending = None      # (device out, offsets, valid list) to fetch later
     blank = np.zeros((t_chunk, h, w, 3), np.uint8)
 
     def flush(p):
-        out_dev, valid = p
+        out_dev, offs_dev, valid = p
         with timer.stage("d2h"):
             host = fetch_frames(out_dev)
+        if check_cov:
+            # Host-side mirror of the device guard, per clip (the
+            # vmapped guard_cond repairs only actual violators, so the
+            # per-clip count is the honest unit; see MultiClipResult).
+            from dvsg_tpu.ops import warp_wide
+            offs = np.asarray(offs_dev)
+            for i in range(n):
+                if valid[i] > 0 and not warp_wide.offsets_coverage_ok(
+                        offs[i], h, w, border_crop=cfg.border_crop):
+                    cov[i] += 1
         for i in range(n):
             # A clip whose encoder already failed stops consuming output
             # (its queue is being drained); its encode worker owns
@@ -285,10 +305,10 @@ def _run_main_loop(cfg, n, t_chunk, h, w, fn, params, timer, dec_qs,
                 [initial_halo(cfg, chunks[i][0]) for i in range(n)])
         batch = np.stack(chunks)
         with timer.stage("dispatch"):
-            out_dev, halos, _ = fn(params, put_frames(batch), halos)
+            out_dev, halos, offs_dev = fn(params, put_frames(batch), halos)
         if pending is not None:
             flush(pending)
-        pending = (out_dev, list(valid))
+        pending = (out_dev, offs_dev, list(valid))
 
     if pending is not None:
         flush(pending)

@@ -134,7 +134,8 @@ stabilize_chunk = functools.partial(
 
 def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
                         clips_u8: np.ndarray,
-                        fetch_clips: Optional[int] = None) -> np.ndarray:
+                        fetch_clips: Optional[int] = None,
+                        coverage_out: Optional[list] = None) -> np.ndarray:
     """Drive a vmapped/sharded chunk ``fn`` over an in-memory clip batch.
 
     The shared chunk/pad/dispatch/fetch loop of the clip-batch surfaces
@@ -148,18 +149,40 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
     compute. ``fetch_clips`` limits the fetch to the first k clips
     (pow2-padding dummies must be computed, never transferred).
 
+    ``coverage_out``: pass a list to receive per-clip coverage-fallback
+    chunk counts (the host-side guard mirror, see
+    Stabilizer._note_coverage) for the first ``fetch_clips`` clips; it
+    is extended to k zeros and only counted on the Pallas path. ``fn``
+    must then return the chunk offsets as its third output.
+
     clips_u8 (B, T_total, H, W, C) uint8 → (fetch_clips, T_total, ...).
     """
     b, total = clips_u8.shape[:2]
     k = b if fetch_clips is None else fetch_clips
     t_chunk = cfg.chunk_frames
+    check_cov = coverage_out is not None
+    if check_cov:
+        from dvsg_tpu.ops.warp import resolve_impl
+        while len(coverage_out) < k:
+            coverage_out.append(0)
+        check_cov = resolve_impl(cfg.warp_impl).startswith("pallas")
+    h, w = clips_u8.shape[2], clips_u8.shape[3]
+
+    def note_cov(offs_dev):
+        from dvsg_tpu.ops import warp_wide
+        offs = np.asarray(offs_dev)
+        for i in range(k):
+            if not warp_wide.offsets_coverage_ok(
+                    offs[i], h, w, border_crop=cfg.border_crop):
+                coverage_out[i] += 1
+
     # Halos always start from the first frame here (pure input history);
     # callers with mid-stream state use the streaming Stabilizer instead.
     halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
                        for i in range(b)])
     outs = []
-    pending = None              # (device out, n_valid): fetch AFTER the
-    for start in range(0, total, t_chunk):     # next chunk dispatches
+    pending = None       # (device out, offsets, n_valid): fetch AFTER
+    for start in range(0, total, t_chunk):     # the next chunk dispatches
         chunk = clips_u8[:, start:start + t_chunk]
         n_valid = chunk.shape[1]
         if n_valid < t_chunk:
@@ -168,10 +191,14 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
         res = fn(params, put_frames(chunk), halos)
         out, halos = res[0], res[1]
         if pending is not None:
-            outs.append(fetch_frames(pending[0][:k, :pending[1]]))
-        pending = (out, n_valid)
+            outs.append(fetch_frames(pending[0][:k, :pending[2]]))
+            if check_cov:
+                note_cov(pending[1])
+        pending = (out, res[2] if check_cov else None, n_valid)
     if pending is not None:
-        outs.append(fetch_frames(pending[0][:k, :pending[1]]))
+        outs.append(fetch_frames(pending[0][:k, :pending[2]]))
+        if check_cov:
+            note_cov(pending[1])
     return np.concatenate(outs, axis=1)
 
 

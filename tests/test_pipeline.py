@@ -309,3 +309,41 @@ class TestCoverageObservability:
         assert n == 8
         assert stab.chunks_seen == 2
         assert stab.coverage_fallbacks == 2
+
+
+class TestBatchDriverCoverage:
+    """drive_chunked_batch(coverage_out=...): per-clip fallback counts
+    for the clip-batch surfaces (dp, serve batching, multiclip)."""
+
+    def test_per_clip_counts(self, params):
+        from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
+        cfg = CFG.replace(warp_impl="pallas_interpret")
+        t = cfg.chunk_frames
+        bad = np.zeros((t, 4, 16, 2), np.float32)
+        bad[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
+        offs = jnp.stack([jnp.asarray(bad), jnp.zeros((t, 4, 16, 2))])
+
+        def fn(p, frames, halos):     # rigged chunk fn: clip 0 violates
+            return frames, halos, offs
+
+        clips = np.zeros((2, 2 * t, 32, 256, 3), np.uint8)
+        cov = []
+        out = drive_chunked_batch(fn, params, cfg, clips,
+                                  coverage_out=cov)
+        assert out.shape == clips.shape
+        assert cov == [2, 0]
+
+    def test_lax_impl_counts_nothing(self, params):
+        from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
+        t = CFG.chunk_frames
+        bad = np.zeros((t, 4, 16, 2), np.float32)
+        bad[..., 0] = np.where(np.arange(16) % 2 == 0, 0.9, -0.9)
+        offs = jnp.stack([jnp.asarray(bad)] * 2)
+
+        def fn(p, frames, halos):
+            return frames, halos, offs
+
+        clips = np.zeros((2, t, 32, 256, 3), np.uint8)
+        cov = []
+        drive_chunked_batch(fn, params, CFG, clips, coverage_out=cov)
+        assert cov == [0, 0]
