@@ -27,6 +27,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _try_metric(label, fn, default=None):
+    """Run one non-headline measurement, degrading to ``default`` on error.
+
+    The axon tunnel's remote-compile helper can drop a connection mid-run
+    (JaxRuntimeError: "response body closed ..."); a detail metric must
+    not take down an attempt whose headline is already measured — that
+    exact failure cost round-3 a full bench attempt at the 1080p warp
+    micro-bench after the 720p headline was in hand.
+    """
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — degrade, never die
+        log(f"{label} FAILED ({type(e).__name__}: {e}); continuing "
+            "without it")
+        return default
+
+
 def _fetch(x):
     """Force the device chain: pull a scalar that depends on the result.
 
@@ -271,11 +288,33 @@ def main():
         f"(uncorrected {d720.get('fps_uncorrected', fps):.2f}, "
         f"RTT correction {d720.get('fetch_correction_pct', 0):.1f}%)")
 
-    warp_us = _bench_warp_kernel(cfg, params, h, w, batch=8,
-                                 n_iters=60 if on_tpu else 5,
-                                 windows=2 if on_tpu else 1)
-    log(f"warp kernel: {warp_us:.1f} us/frame at 720p "
-        f"({warp_ops_name(cfg)} impl)")
+    # The headline is now in hand: measure its (host-CPU-only) baseline
+    # and print a PROVISIONAL result line immediately, so a tunnel hang
+    # or crash in any detail metric below cannot cost the attempt its
+    # headline — the retry wrapper takes the LAST stdout JSON line and
+    # harvests partial output on timeout.
+    cpu_fps = _try_metric(
+        "reference-style CPU baseline",
+        lambda: _bench_reference_style_cpu(ModelConfig(dtype="float32"),
+                                           h, w), 0.0)
+    log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s "
+        f"({os.cpu_count()} host cores; ratio is per-chip vs this host)")
+    headline = json.dumps({
+        "metric": "720p_stabilized_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps > 0 else 0.0,
+    })
+    print(headline, flush=True)
+
+    warp_us = _try_metric(
+        "720p warp micro-bench",
+        lambda: _bench_warp_kernel(cfg, params, h, w, batch=8,
+                                   n_iters=60 if on_tpu else 5,
+                                   windows=2 if on_tpu else 1))
+    if warp_us is not None:
+        log(f"warp kernel: {warp_us:.1f} us/frame at 720p "
+            f"({warp_ops_name(cfg)} impl)")
 
     # Resolution sweep (BASELINE.json config 5 is 1080p; 480p and 4K make
     # the STATUS numbers driver-reproducible), trained flagship weights,
@@ -294,46 +333,67 @@ def main():
                 "480p": (480, 854, 64, 40),
                 "1080p": (1080, 1920, 16, 60),
                 "2160p": (2160, 3840, 4, 60)}.items():
-            cfg_s = StabilizeConfig(model=mcfg, chunk_frames=t,
-                                    warp_impl="auto")
-            det = {}
-            fps_s = _bench_chunked(cfg_s, params, _shaky_frames(t, sh, sw),
-                                   n_iters=iters, warm_reps=2, detail=det)
-            sweep[name] = {"fps_per_chip": fps_s, "chunk_frames": t, **det}
-            log(f"{name} chunked throughput: {fps_s:.2f} frames/s/chip "
-                f"(T={t})")
-        warp_us_1080 = _bench_warp_kernel(cfg, params, 1080, 1920, batch=8,
-                                          n_iters=40)
-        log(f"warp kernel: {warp_us_1080:.1f} us/frame at 1080p")
-        sweep["1080p"]["warp_us_per_frame"] = warp_us_1080
+            def _sweep_one(sh=sh, sw=sw, t=t, iters=iters):
+                cfg_s = StabilizeConfig(model=mcfg, chunk_frames=t,
+                                        warp_impl="auto")
+                det = {}
+                fps_s = _bench_chunked(cfg_s, params,
+                                       _shaky_frames(t, sh, sw),
+                                       n_iters=iters, warm_reps=2,
+                                       detail=det)
+                return {"fps_per_chip": fps_s, "chunk_frames": t, **det}
+            entry = _try_metric(f"{name} sweep", _sweep_one)
+            if entry is not None:
+                sweep[name] = entry
+                log(f"{name} chunked throughput: "
+                    f"{entry['fps_per_chip']:.2f} frames/s/chip (T={t})")
+        warp_us_1080 = _try_metric(
+            "1080p warp micro-bench",
+            lambda: _bench_warp_kernel(cfg, params, 1080, 1920, batch=8,
+                                       n_iters=40))
+        if warp_us_1080 is not None:
+            log(f"warp kernel: {warp_us_1080:.1f} us/frame at 1080p")
+            if "1080p" in sweep:
+                sweep["1080p"]["warp_us_per_frame"] = warp_us_1080
 
         # Serving latency: one 720p frame per device step (chunk_frames=1).
-        cfg_lat = StabilizeConfig(model=mcfg, chunk_frames=1,
-                                  warp_impl="auto")
-        lat_fps = _bench_chunked(cfg_lat, params, frames[:1],
-                                 n_iters=400, warm_reps=2)
-        latency_ms = 1000.0 / lat_fps if lat_fps else None
-        log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
+        def _latency():
+            cfg_lat = StabilizeConfig(model=mcfg, chunk_frames=1,
+                                      warp_impl="auto")
+            lat_fps = _bench_chunked(cfg_lat, params, frames[:1],
+                                     n_iters=400, warm_reps=2)
+            return 1000.0 / lat_fps if lat_fps else None
+        latency_ms = _try_metric("720p T=1 latency", _latency)
+        if latency_ms is not None:
+            log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
 
         # Batch sweep (on-chip, 2026-08-18): per-clip T=16 1355 fps
         # aggregate vs 1267 at T=8, 1206 at T=4; T=24/32 OOM HBM.
-        cfg_mc = StabilizeConfig(model=mcfg, chunk_frames=16,
-                                 warp_impl="auto")
-        fps_8clip = _bench_batched_clips(cfg_mc, params, h, w)
-        log(f"batched 8-clip 720p (config 4, device side): "
-            f"{fps_8clip:.1f} frames/s aggregate")
+        def _batched():
+            cfg_mc = StabilizeConfig(model=mcfg, chunk_frames=16,
+                                     warp_impl="auto")
+            return _bench_batched_clips(cfg_mc, params, h, w)
+        fps_8clip = _try_metric("8-clip batch", _batched)
+        if fps_8clip is not None:
+            log(f"batched 8-clip 720p (config 4, device side): "
+                f"{fps_8clip:.1f} frames/s aggregate")
 
-        overlap = _bench_overlap(cfg, params, h, w)
-        log(f"overlapped run: {overlap['overlapped_fps']:.1f} fps, device "
-            f"idle {overlap.get('overlap_device_idle_pct')}% "
-            "(gate < 20, includes tunnel dispatch latency)")
+        overlap = _try_metric("overlapped run",
+                              lambda: _bench_overlap(cfg, params, h, w),
+                              {})
+        if overlap:
+            log(f"overlapped run: {overlap['overlapped_fps']:.1f} fps, "
+                f"device idle {overlap.get('overlap_device_idle_pct')}% "
+                "(gate < 20, includes tunnel dispatch latency)")
 
-        train_bench = _bench_train_step(mcfg)
-        log(f"train step ({train_bench['batch_size']}-clip synthetic "
-            f"batch): {train_bench['steps_per_sec']:.2f} steps/s, "
-            f"{train_bench['windows_per_sec']:.0f} windows/s")
+        train_bench = _try_metric("train step",
+                                  lambda: _bench_train_step(mcfg))
+        if train_bench is not None:
+            log(f"train step ({train_bench['batch_size']}-clip synthetic "
+                f"batch): {train_bench['steps_per_sec']:.2f} steps/s, "
+                f"{train_bench['windows_per_sec']:.0f} windows/s")
 
-        hbm = _hbm_stats()
+        hbm = _try_metric("HBM stats", _hbm_stats)
         if hbm:
             log(f"HBM after the sweep: peak {hbm.get('peak_gib')} GiB / "
                 f"limit {hbm.get('limit_gib')} GiB")
@@ -343,15 +403,11 @@ def main():
         train_bench = None
         hbm = None
 
-    cpu_fps = _bench_reference_style_cpu(
-        ModelConfig(dtype="float32"), h, w)
-    log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s "
-        f"({os.cpu_count()} host cores; ratio is per-chip vs this host)")
-
-    host_io = _bench_host_io(h, w)
-    log(f"host mp4 I/O: encode {host_io['encode_fps']:.1f} fps, "
-        f"decode {host_io['decode_fps']:.1f} fps "
-        f"({host_io['cores']} cores)")
+    host_io = _try_metric("host mp4 I/O", lambda: _bench_host_io(h, w))
+    if host_io is not None:
+        log(f"host mp4 I/O: encode {host_io['encode_fps']:.1f} fps, "
+            f"decode {host_io['decode_fps']:.1f} fps "
+            f"({host_io['cores']} cores)")
 
     detail = {
         "backend": backend,
@@ -377,12 +433,9 @@ def main():
     with open("bench_detail.json", "w") as f:
         json.dump(detail, f, indent=2)
 
-    print(json.dumps({
-        "metric": "720p_stabilized_frames_per_sec_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps > 0 else 0.0,
-    }))
+    # Re-print the headline as the FINAL stdout line (the wrapper takes
+    # lines[-1]; identical to the provisional line printed above).
+    print(headline, flush=True)
 
 
 def _shaky_frames(t, h, w):
@@ -651,6 +704,7 @@ def _run_with_retries():
 
     env = dict(os.environ, DVSG_BENCH_INNER="1")
     last_err = ""
+    salvaged = None  # headline from a partially-completed attempt
     for attempt in range(3):
         # ~30 s when healthy (one jax import); bounded wait when not.
         _wait_for_backend(budget_s=0 if attempt == 0 else 2400)
@@ -658,9 +712,21 @@ def _run_with_retries():
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=900)
-        except subprocess.TimeoutExpired:
-            log(f"bench attempt {attempt} timed out; retrying "
-                "(compile cache should now be warm)")
+        except subprocess.TimeoutExpired as e:
+            # The inner prints a provisional headline line as soon as it
+            # is measured; a later wedge must not discard it.
+            part = (e.stdout or "") if isinstance(e.stdout, str) else (
+                (e.stdout or b"").decode("utf-8", "replace"))
+            lines = [l for l in part.strip().splitlines()
+                     if l.startswith("{")]
+            if lines:
+                salvaged = lines[-1]
+                log(f"bench attempt {attempt} timed out AFTER measuring "
+                    "the headline; keeping it while retrying for a "
+                    "complete run")
+            else:
+                log(f"bench attempt {attempt} timed out; retrying "
+                    "(compile cache should now be warm)")
             continue
         sys.stderr.write(res.stderr)
         lines = [l for l in res.stdout.strip().splitlines()
@@ -668,9 +734,19 @@ def _run_with_retries():
         if res.returncode == 0 and lines:
             print(lines[-1])
             return 0
+        if lines:
+            salvaged = lines[-1]
+            log(f"bench attempt {attempt} crashed (rc={res.returncode}) "
+                "after measuring the headline; keeping it while "
+                "retrying for a complete run")
+        else:
+            log(f"bench attempt {attempt} failed (rc={res.returncode}); "
+                "retrying")
         last_err = res.stderr.strip().splitlines()[-1:] or ["?"]
-        log(f"bench attempt {attempt} failed (rc={res.returncode}); "
-            "retrying")
+    if salvaged is not None:
+        log("no complete attempt; reporting the salvaged headline")
+        print(salvaged)
+        return 0
     log(f"all bench attempts failed: {last_err}")
     return 1
 

@@ -3,27 +3,38 @@
 All tests run on CPU (f32, deterministic) with 8 virtual devices so the
 multi-chip sharding paths (SURVEY.md §4 "Distributed w/o cluster") are
 exercised without TPU hardware. TPU-only tests are marked ``tpu`` and
-skipped unless a real TPU backend is present.
+skipped unless a real TPU backend is present; run them on a chip with
+
+    DVSG_TEST_TPU=1 python -m pytest tests/ -q -m tpu
+
+which keeps the process on the container's default (TPU) platform
+instead of forcing the virtual CPU mesh.
 """
 
 import os
 
-# Must be set before the first JAX backend initialization in this process.
-# XLA_FLAGS is read at backend init (lazy), so setting it here is early
-# enough even though sitecustomize may already have imported jax machinery.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_ON_TPU = os.environ.get("DVSG_TEST_TPU") == "1"
+
+if not _ON_TPU:
+    # Must be set before the first JAX backend initialization in this
+    # process. XLA_FLAGS is read at backend init (lazy), so setting it
+    # here is early enough even though sitecustomize may already have
+    # imported jax machinery.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-# The container's sitecustomize registers an out-of-process TPU platform
-# ("axon") and forces JAX_PLATFORMS=axon; the config API overrides it.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # The container's sitecustomize registers an out-of-process TPU
+    # platform ("axon") and forces JAX_PLATFORMS=axon; the config API
+    # overrides it.
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
