@@ -12,7 +12,27 @@ records no published numbers (BASELINE.json "published": {}). The target is
 vs_baseline > 10.
 
 Extra detail (per-stage timings, warp-kernel µs/frame) goes to stderr and
-bench_detail.json; stdout carries exactly the one JSON line.
+bench_detail.json; stdout carries the one JSON line.
+
+Capture contract (round-3 postmortem — the driver recorded rc=124 with NO
+number while the chip did 1570 fps, because the old wrapper buffered the
+inner's output and its worst-case wall-clock exceeded the driver's budget):
+
+  * The wrapper STREAMS the inner's headline line to its own stdout the
+    moment the inner prints it — a later wedge, crash, or even a SIGKILL
+    of the wrapper can no longer lose an already-measured headline.
+  * TOTAL wrapper wall-clock (attempts + backend waits) is hard-bounded
+    by DVSG_BENCH_BUDGET_S (default 600 s) — always finishes well inside
+    any plausible driver budget.
+  * If no attempt completes cleanly, the final stdout line is the best
+    salvaged headline re-emitted with "partial": true.
+  * A clean completed attempt whose final line matches what was already
+    streamed prints nothing further: stdout then carries exactly one
+    line. Consumers must parse the LAST JSON line of stdout.
+
+Inner mode (DVSG_BENCH_INNER=1, e.g. the CPU smoke workflow in CLAUDE.md)
+prints exactly one JSON line at the end; the early provisional print is
+enabled only by the wrapper via DVSG_BENCH_PROVISIONAL=1.
 """
 
 import json
@@ -23,8 +43,12 @@ import time
 import numpy as np
 
 
+_T0 = time.monotonic()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.monotonic() - _T0:6.1f}s]", *a, file=sys.stderr,
+          flush=True)
 
 
 def _try_metric(label, fn, default=None):
@@ -126,9 +150,15 @@ def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2,
     return fps
 
 
-def _bench_reference_style_cpu(mcfg, h, w, n_frames=20):
+def _bench_reference_style_cpu(mcfg, h, w, n_frames=8, n_windows=3):
     """The reference's architecture: per-frame synchronous loop on CPU,
-    f32, framework warp, host round-trip every frame (SURVEY.md §3.1)."""
+    f32, framework warp, host round-trip every frame (SURVEY.md §3.1).
+
+    Returns per-window frames/s over ``n_windows`` back-to-back windows
+    of ``n_frames`` each; the caller takes the median. One long window
+    measured 0.81 fps in one round-3 run and 0.43 in another (this
+    1-core container's load varies), swinging the headline ratio ~3x —
+    the median of short windows pins it (VERDICT round-3 weak #4)."""
     import jax
     import jax.numpy as jnp
     from dvsg_tpu.models import motion_cnn
@@ -156,18 +186,21 @@ def _bench_reference_style_cpu(mcfg, h, w, n_frames=20):
         win = jnp.concatenate([small] * mcfg.window, axis=-1)
         np.asarray(one_frame(params, win, f32))
 
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            f32 = jnp.asarray(frames[i], jnp.float32) / 255.0  # h2d
-            small = jax.image.resize(f32, (mh, mw, 3), "bilinear") - 0.5
-            buf.append(small)
-            buf[:] = buf[-mcfg.window:]
-            pad = [buf[0]] * (mcfg.window - len(buf))
-            win = jnp.concatenate(pad + buf, axis=-1)
-            out = one_frame(params, win, f32)
-            np.asarray(out)                                     # d2h, sync
-        dt = time.perf_counter() - t0
-    return n_frames / dt
+        window_fps = []
+        for _ in range(n_windows):
+            buf.clear()
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                f32 = jnp.asarray(frames[i], jnp.float32) / 255.0  # h2d
+                small = jax.image.resize(f32, (mh, mw, 3), "bilinear") - 0.5
+                buf.append(small)
+                buf[:] = buf[-mcfg.window:]
+                pad = [buf[0]] * (mcfg.window - len(buf))
+                win = jnp.concatenate(pad + buf, axis=-1)
+                out = one_frame(params, win, f32)
+                np.asarray(out)                                 # d2h, sync
+            window_fps.append(n_frames / (time.perf_counter() - t0))
+    return window_fps
 
 
 def _bench_warp_kernel(cfg, params, h, w, batch, n_iters=20, windows=2):
@@ -276,6 +309,17 @@ def main():
     rng = np.random.default_rng(0)
     frames = _shaky_frames(cfg.chunk_frames, h, w)
 
+    detail = {"backend": backend, "model": model_name,
+              "model_size": list(mcfg.model_size), "model_dtype": mcfg.dtype,
+              "chunk_frames": cfg.chunk_frames}
+
+    def flush_detail():
+        # Incremental flush after EVERY metric: a killed attempt (tunnel
+        # wedge past the wrapper's budget) still leaves fresh detail on
+        # disk next to its salvaged headline (round-4 capture rework).
+        with open("bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=2)
+
     # CPU runs (smoke only) are ~200x slower per chunk; keep them short.
     # On TPU, 100+ iters keep the fetch-RTT correction under ~3% of the
     # timed window (VERDICT.md round-2 weak #4).
@@ -287,25 +331,45 @@ def main():
     log(f"720p chunked throughput: {fps:.2f} frames/s/chip "
         f"(uncorrected {d720.get('fps_uncorrected', fps):.2f}, "
         f"RTT correction {d720.get('fetch_correction_pct', 0):.1f}%)")
+    detail.update(fps_720p_per_chip=fps,
+                  fps_720p_uncorrected=d720.get("fps_uncorrected"),
+                  fetch_correction_pct_720p=d720.get("fetch_correction_pct"),
+                  warp_impl_resolved=warp_ops_name(cfg))
+    flush_detail()
 
     # The headline is now in hand: measure its (host-CPU-only) baseline
     # and print a PROVISIONAL result line immediately, so a tunnel hang
     # or crash in any detail metric below cannot cost the attempt its
-    # headline — the retry wrapper takes the LAST stdout JSON line and
-    # harvests partial output on timeout.
-    cpu_fps = _try_metric(
+    # headline — the retry wrapper streams it to the driver-visible
+    # stdout the moment it appears. Only the wrapper opts in
+    # (DVSG_BENCH_PROVISIONAL=1): a directly-invoked inner run keeps the
+    # documented exactly-one-JSON-line stdout contract.
+    cpu_windows = _try_metric(
         "reference-style CPU baseline",
         lambda: _bench_reference_style_cpu(ModelConfig(dtype="float32"),
-                                           h, w), 0.0)
-    log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s "
-        f"({os.cpu_count()} host cores; ratio is per-chip vs this host)")
+                                           h, w), None)
+    # Median of 3 short windows: the 1-core container's load swings a
+    # single window ~2x run-to-run, which swung the reported vs_baseline
+    # 1079x..3645x across round-3 runs (VERDICT round-3 weak #4).
+    cpu_fps = float(np.median(cpu_windows)) if cpu_windows else 0.0
+    if cpu_windows:
+        log(f"reference-style CPU per-frame loop: {cpu_fps:.2f} frames/s "
+            f"(median of {['%.2f' % v for v in cpu_windows]}; "
+            f"{os.cpu_count()} host cores; ratio is per-chip vs this host)")
     headline = json.dumps({
         "metric": "720p_stabilized_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps > 0 else 0.0,
+        # null, not 0.0, when the CPU baseline is unavailable: a degraded
+        # denominator must not read as a catastrophic regression to a
+        # gate that only parses stdout (ADVICE round-3).
+        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps > 0 else None,
     })
-    print(headline, flush=True)
+    if os.environ.get("DVSG_BENCH_PROVISIONAL") == "1":
+        print(headline, flush=True)
+    detail.update(reference_style_cpu_fps=cpu_fps,
+                  reference_style_cpu_windows=cpu_windows)
+    flush_detail()
 
     warp_us = _try_metric(
         "720p warp micro-bench",
@@ -315,11 +379,14 @@ def main():
     if warp_us is not None:
         log(f"warp kernel: {warp_us:.1f} us/frame at 720p "
             f"({warp_ops_name(cfg)} impl)")
+    detail["warp_us_per_frame_720p"] = warp_us
+    flush_detail()
 
     # Resolution sweep (BASELINE.json config 5 is 1080p; 480p and 4K make
     # the STATUS numbers driver-reproducible), trained flagship weights,
     # device-resident. T picked so each chunk fits HBM with headroom.
     sweep = {}
+    detail["resolution_sweep"] = sweep
     latency_ms = None
     if on_tpu:
         # iters sized so the one-RTT fetch correction stays a small share
@@ -347,6 +414,7 @@ def main():
                 sweep[name] = entry
                 log(f"{name} chunked throughput: "
                     f"{entry['fps_per_chip']:.2f} frames/s/chip (T={t})")
+            flush_detail()
         warp_us_1080 = _try_metric(
             "1080p warp micro-bench",
             lambda: _bench_warp_kernel(cfg, params, 1080, 1920, batch=8,
@@ -355,17 +423,35 @@ def main():
             log(f"warp kernel: {warp_us_1080:.1f} us/frame at 1080p")
             if "1080p" in sweep:
                 sweep["1080p"]["warp_us_per_frame"] = warp_us_1080
+        flush_detail()
 
         # Serving latency: one 720p frame per device step (chunk_frames=1).
         def _latency():
             cfg_lat = StabilizeConfig(model=mcfg, chunk_frames=1,
                                       warp_impl="auto")
             lat_fps = _bench_chunked(cfg_lat, params, frames[:1],
-                                     n_iters=400, warm_reps=2)
+                                     n_iters=200, warm_reps=2)
             return 1000.0 / lat_fps if lat_fps else None
         latency_ms = _try_metric("720p T=1 latency", _latency)
         if latency_ms is not None:
             log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
+        detail["latency_ms_720p_T1"] = latency_ms
+        flush_detail()
+
+        # Path-smoothing cost (VERDICT round-3 item 2): the same 720p
+        # chain with the cross-chunk EMA stage on. Expected <1-2%: the
+        # added work is T+N-1 small FFTs + a (2,)-state scan against a
+        # full CNN + fused-warp chunk.
+        def _smoothed():
+            cfg_ps = cfg.replace(path_smooth=32)
+            return _bench_chunked(cfg_ps, params, frames, n_iters=60,
+                                  warm_reps=2)
+        fps_smooth = _try_metric("720p path-smoothed", _smoothed)
+        if fps_smooth is not None:
+            log(f"720p with path_smooth=32: {fps_smooth:.2f} frames/s/chip "
+                f"({(1.0 - fps_smooth / fps) * 100.0:.1f}% cost)")
+        detail["fps_720p_pathsmooth32"] = fps_smooth
+        flush_detail()
 
         # Batch sweep (on-chip, 2026-08-18): per-clip T=16 1355 fps
         # aggregate vs 1267 at T=8, 1206 at T=4; T=24/32 OOM HBM.
@@ -377,6 +463,8 @@ def main():
         if fps_8clip is not None:
             log(f"batched 8-clip 720p (config 4, device side): "
                 f"{fps_8clip:.1f} frames/s aggregate")
+        detail["fps_720p_8clip_batch"] = fps_8clip
+        flush_detail()
 
         overlap = _try_metric("overlapped run",
                               lambda: _bench_overlap(cfg, params, h, w),
@@ -385,6 +473,8 @@ def main():
             log(f"overlapped run: {overlap['overlapped_fps']:.1f} fps, "
                 f"device idle {overlap.get('overlap_device_idle_pct')}% "
                 "(gate < 20, includes tunnel dispatch latency)")
+        detail["overlap"] = overlap
+        flush_detail()
 
         train_bench = _try_metric("train step",
                                   lambda: _bench_train_step(mcfg))
@@ -392,49 +482,26 @@ def main():
             log(f"train step ({train_bench['batch_size']}-clip synthetic "
                 f"batch): {train_bench['steps_per_sec']:.2f} steps/s, "
                 f"{train_bench['windows_per_sec']:.0f} windows/s")
+        detail["train"] = train_bench
+        flush_detail()
 
         hbm = _try_metric("HBM stats", _hbm_stats)
-        if hbm:
+        if hbm and "unavailable_reason" not in hbm:
             log(f"HBM after the sweep: peak {hbm.get('peak_gib')} GiB / "
                 f"limit {hbm.get('limit_gib')} GiB")
-    else:
-        overlap = {}
-        fps_8clip = None
-        train_bench = None
-        hbm = None
+        detail["hbm"] = hbm
+        flush_detail()
 
     host_io = _try_metric("host mp4 I/O", lambda: _bench_host_io(h, w))
     if host_io is not None:
         log(f"host mp4 I/O: encode {host_io['encode_fps']:.1f} fps, "
             f"decode {host_io['decode_fps']:.1f} fps "
             f"({host_io['cores']} cores)")
+    detail["host_io"] = host_io
+    flush_detail()
 
-    detail = {
-        "backend": backend,
-        "fps_720p_per_chip": fps,
-        "fps_720p_uncorrected": d720.get("fps_uncorrected"),
-        "fetch_correction_pct_720p": d720.get("fetch_correction_pct"),
-        "warp_us_per_frame_720p": warp_us,
-        "resolution_sweep": sweep,
-        "fps_720p_8clip_batch": fps_8clip,
-        "train": train_bench,
-        "hbm": hbm,
-        "overlap": overlap,
-        "latency_ms_720p_T1": latency_ms,
-        "reference_style_cpu_fps": cpu_fps,
-        "cpu_baseline_frames": 20,
-        "host_io": host_io,
-        "chunk_frames": cfg.chunk_frames,
-        "model": model_name,
-        "model_size": list(mcfg.model_size),
-        "model_dtype": mcfg.dtype,
-        "warp_impl_resolved": warp_ops_name(cfg),
-    }
-    with open("bench_detail.json", "w") as f:
-        json.dump(detail, f, indent=2)
-
-    # Re-print the headline as the FINAL stdout line (the wrapper takes
-    # lines[-1]; identical to the provisional line printed above).
+    # The one final stdout line (identical to the provisional line the
+    # wrapper may have already streamed; the wrapper dedupes).
     print(headline, flush=True)
 
 
@@ -443,13 +510,20 @@ def _shaky_frames(t, h, w):
     noise. The CNN's offsets on noise are wild enough to violate the warp
     kernel's smoothness contract, tripping the (correct) oracle fallback —
     which benchmarks the guard, not the pipeline a user runs on real
-    footage."""
+    footage.
+
+    Generated ON THE HOST CPU: the fixture program (procedural still +
+    per-frame homography warp) would otherwise compile per resolution
+    through the remote compile helper — measured ~40-50 s of each 60 s
+    sweep entry in the round-4 timing run, most of the reason a full
+    inner run outgrew the wrapper's attempt budget."""
     import jax
     from dvsg_tpu.train import synthetic
 
-    frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(42), t,
-                                                  h, w)
-    return np.asarray(frames_u8)
+    with jax.default_device(jax.devices("cpu")[0]):
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(42),
+                                                      t, h, w)
+        return np.asarray(frames_u8)
 
 
 def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=None, n_iters=20):
@@ -467,10 +541,12 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=None, n_iters=20):
     fetch = _fetch
 
     t = cfg.chunk_frames if t is None else t
-    frames = jnp.asarray(
-        np.stack([_shaky_frames(t, h, w) for _ in range(n_clips)]))
-    halos = jnp.stack([initial_halo(cfg, np.asarray(frames[i, 0]))
-                       for i in range(n_clips)])
+    # ONE fixture replicated across slots: the vmapped program's timing
+    # is content-independent, and generating 8 distinct clips cost ~60 s
+    # of the round-4 timing run for no measurement value.
+    one = _shaky_frames(t, h, w)
+    frames = jnp.asarray(np.broadcast_to(one, (n_clips,) + one.shape))
+    halos = jnp.stack([initial_halo(cfg, one[0])] * n_clips)
 
     step = jax.jit(lambda p, f, hl: jax.vmap(
         lambda ff, hh: stabilize_chunk_impl(cfg, p, ff, hh)[:2])(f, hl))
@@ -494,12 +570,29 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=None, n_iters=20):
 def _hbm_stats():
     """Device-memory footprint, if the runtime exposes it ('fits HBM with
     headroom' claims get a measured number). Peak covers everything run
-    so far in this process — i.e. the whole resolution sweep."""
+    so far in this process — i.e. the whole resolution sweep.
+
+    The axon tunnel intermittently hides ``memory_stats()`` (round-3 runs
+    got null with no explanation); the reason is now recorded in the
+    returned dict instead of silently degrading (VERDICT round-3 weak
+    #5) — bench_detail's ``hbm`` is either numbers or a visible waiver.
+    """
     import jax
-    try:
-        s = jax.devices()[0].memory_stats() or {}
-    except Exception:
-        return None
+    s, why = None, None
+    for dev_fn in (lambda: jax.devices()[0],
+                   lambda: jax.local_devices()[0]):
+        try:
+            s = dev_fn().memory_stats()
+        except Exception as e:  # noqa: BLE001 — record, try the next path
+            why = f"{type(e).__name__}: {e}"
+            continue
+        if s:
+            break
+        why = "memory_stats() returned empty (transport hides allocator " \
+              "stats; 'fits HBM' claims rest on not-OOMing on this box)"
+    if not s:
+        log(f"HBM stats unavailable: {why}")
+        return {"unavailable_reason": why}
     gib = 1024.0 ** 3
     out = {}
     if "peak_bytes_in_use" in s:
@@ -508,7 +601,8 @@ def _hbm_stats():
         out["limit_gib"] = round(s["bytes_limit"] / gib, 2)
     if "bytes_in_use" in s:
         out["in_use_gib"] = round(s["bytes_in_use"] / gib, 2)
-    return out or None
+    return out or {"unavailable_reason": "memory_stats() had none of the "
+                   "expected keys"}
 
 
 def _bench_train_step(mcfg, batch_size=8, n_iters=20):
@@ -541,7 +635,7 @@ def _bench_train_step(mcfg, batch_size=8, n_iters=20):
             "windows_per_sec": sps * batch_size}
 
 
-def _bench_overlap(cfg, params, h, w, n_chunks=8):
+def _bench_overlap(cfg, params, h, w, n_chunks=4):
     """SURVEY.md §7 stage-4 gate: device idle % during an OVERLAPPED run.
 
     Drives pipeline.overlap.stabilize_stream_overlapped with an in-memory
@@ -579,7 +673,7 @@ def _bench_overlap(cfg, params, h, w, n_chunks=8):
             return frames
 
     stab = Stabilizer(cfg, params)
-    stabilize_stream_overlapped(stab, ChunkReader(2), MemWriter())  # warm
+    stabilize_stream_overlapped(stab, ChunkReader(1), MemWriter())  # warm
     d = tempfile.mkdtemp(prefix="overlap_trace_")
     try:
         t0 = time.perf_counter()
@@ -688,66 +782,155 @@ def _wait_for_backend(budget_s=2400, probe_timeout_s=150, sleep_s=120):
         time.sleep(min(sleep_s, max(remaining, 1)))
 
 
-def _run_with_retries():
-    """Run the measurement in a subprocess with timeout + retry.
+def _mark_partial(headline_json):
+    """Re-emit a salvaged headline with a visible ``"partial": true``
+    marker (ADVICE round-3: a headline from an attempt that never
+    completed must not be indistinguishable from a clean run's)."""
+    try:
+        d = json.loads(headline_json)
+        d["partial"] = True
+        return json.dumps(d)
+    except (ValueError, TypeError):
+        return headline_json
 
-    The environment's remote compile helper intermittently wedges
-    (ARCHITECTURE.md "Known environment quirks"); the reliable remedy is
-    kill-and-retry — the first attempt's compile usually lands in the
-    persistent cache, so the retry is fast. This wrapper automates that so
-    a single wedge can't leave the benchmark without a result. A full
-    tunnel OUTAGE (backend init hangs) is detected with a cheap probe and
-    waited out with a bounded budget instead of burning the per-attempt
-    timeout on a hang.
+
+def _run_attempt(cmd, env, timeout_s, on_headline):
+    """One inner attempt with STREAMED capture.
+
+    stderr is forwarded line-by-line as it arrives (a killed attempt no
+    longer loses its diagnostics — ADVICE round-3), and every stdout
+    line that parses as a JSON object is handed to ``on_headline``
+    IMMEDIATELY, so the caller can stream it to the driver-visible
+    stdout before any wedge/kill (round-3 postmortem: the old
+    capture_output pipe held the headline hostage).
+
+    Returns (returncode|None on timeout, last_headline|None).
     """
     import subprocess
+    import threading
 
-    env = dict(os.environ, DVSG_BENCH_INNER="1")
-    last_err = ""
-    salvaged = None  # headline from a partially-completed attempt
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, bufsize=1)
+    last = [None]
+
+    def pump_out():
+        for line in proc.stdout:
+            line = line.strip()
+            if line.startswith("{"):
+                last[0] = line
+                on_headline(line)
+
+    def pump_err():
+        for line in proc.stderr:
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    threads = [threading.Thread(target=pump_out, daemon=True),
+               threading.Thread(target=pump_err, daemon=True)]
+    for t in threads:
+        t.start()
+    try:
+        rc = proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        rc = None
+    for t in threads:
+        t.join(timeout=5)
+    return rc, last[0]
+
+
+def _run_with_retries():
+    """Run the measurement in a subprocess with timeout + retry, under a
+    HARD total wall-clock budget.
+
+    The environment's remote compile helper intermittently wedges and
+    the tunnel can go fully down for hours (ARCHITECTURE.md "Known
+    environment quirks"); the remedy is kill-and-retry — the first
+    attempt's compile usually lands in the persistent cache. Round 3
+    proved the failure mode this wrapper exists for: the driver killed a
+    silent wrapper at its own timeout (BENCH_r03.json rc=124, parsed
+    null) while the chip measured 1570 fps. Hence the two invariants:
+
+      * any headline the inner measures is ALREADY on this process's
+        stdout (streamed the moment the inner printed it);
+      * total wall-clock — attempts, waits, everything — never exceeds
+        DVSG_BENCH_BUDGET_S (default 600 s), so this process always
+        finishes before any plausible driver budget.
+
+    ``DVSG_BENCH_CMD`` (tests only) replaces the inner command so a
+    wedged inner can be faked without a chip.
+    """
+    budget_s = float(os.environ.get("DVSG_BENCH_BUDGET_S", "600"))
+    attempt_cap_s = float(os.environ.get("DVSG_BENCH_ATTEMPT_TIMEOUT_S",
+                                         "540"))
+    deadline = time.monotonic() + budget_s
+    start = time.time()
+
+    fake_cmd = os.environ.get("DVSG_BENCH_CMD")
+    cmd = (fake_cmd.split() if fake_cmd
+           else [sys.executable, os.path.abspath(__file__)])
+    env = dict(os.environ, DVSG_BENCH_INNER="1", DVSG_BENCH_PROVISIONAL="1")
+
+    printed = [None]     # the headline already streamed to stdout
+
+    def stream(line):
+        if printed[0] is None:
+            print(line, flush=True)
+            printed[0] = line
+
+    salvaged = None      # best headline from an incomplete attempt
     for attempt in range(3):
-        # ~30 s when healthy (one jax import); bounded wait when not.
-        _wait_for_backend(budget_s=0 if attempt == 0 else 2400)
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=900)
-        except subprocess.TimeoutExpired as e:
-            # The inner prints a provisional headline line as soon as it
-            # is measured; a later wedge must not discard it.
-            part = (e.stdout or "") if isinstance(e.stdout, str) else (
-                (e.stdout or b"").decode("utf-8", "replace"))
-            lines = [l for l in part.strip().splitlines()
-                     if l.startswith("{")]
-            if lines:
-                salvaged = lines[-1]
-                log(f"bench attempt {attempt} timed out AFTER measuring "
-                    "the headline; keeping it while retrying for a "
-                    "complete run")
-            else:
-                log(f"bench attempt {attempt} timed out; retrying "
-                    "(compile cache should now be warm)")
-            continue
-        sys.stderr.write(res.stderr)
-        lines = [l for l in res.stdout.strip().splitlines()
-                 if l.startswith("{")]
-        if res.returncode == 0 and lines:
-            print(lines[-1])
+        remaining = deadline - time.monotonic()
+        if remaining < 5:
+            log("bench budget exhausted before another attempt")
+            break
+        if attempt > 0 and not fake_cmd:
+            # Wait out a tunnel outage, but only within the budget.
+            wait = max(0.0, min(remaining - 60, 2400))
+            if wait > 0:
+                _wait_for_backend(budget_s=wait,
+                                  probe_timeout_s=min(150, wait))
+            remaining = deadline - time.monotonic()
+            if remaining < 5:
+                break
+        rc, headline = _run_attempt(cmd, env,
+                                    timeout_s=min(attempt_cap_s, remaining),
+                                    on_headline=stream)
+        if rc == 0 and headline is not None:
+            if headline != printed[0]:
+                # A retry measured a (different) complete headline; the
+                # consumer takes the LAST stdout line.
+                print(headline, flush=True)
             return 0
-        if lines:
-            salvaged = lines[-1]
-            log(f"bench attempt {attempt} crashed (rc={res.returncode}) "
-                "after measuring the headline; keeping it while "
-                "retrying for a complete run")
+        if headline is not None:
+            salvaged = headline
+            log(f"bench attempt {attempt} "
+                f"{'timed out' if rc is None else f'failed (rc={rc})'} "
+                "after measuring the headline; keeping it")
         else:
-            log(f"bench attempt {attempt} failed (rc={res.returncode}); "
-                "retrying")
-        last_err = res.stderr.strip().splitlines()[-1:] or ["?"]
+            outcome = "timed out" if rc is None else f"failed (rc={rc})"
+            log(f"bench attempt {attempt} {outcome} with no headline"
+                + ("; retrying" if attempt < 2 else ""))
     if salvaged is not None:
-        log("no complete attempt; reporting the salvaged headline")
-        print(salvaged)
+        log("no complete attempt; reporting the salvaged headline as "
+            "partial")
+        # bench_detail.json is only written by a COMPLETED inner run; a
+        # stale one from an earlier session must not read as this
+        # (partial) run's detail (ADVICE round-3).
+        try:
+            if (os.path.exists("bench_detail.json")
+                    and os.path.getmtime("bench_detail.json") < start):
+                os.replace("bench_detail.json", "bench_detail.stale.json")
+                log("bench_detail.json predates this run; moved to "
+                    "bench_detail.stale.json")
+        except OSError:
+            pass
+        print(_mark_partial(salvaged), flush=True)
         return 0
-    log(f"all bench attempts failed: {last_err}")
+    if printed[0] is not None:
+        return 0
+    log("all bench attempts failed with no headline")
     return 1
 
 

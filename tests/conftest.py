@@ -50,7 +50,10 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    # The container's TPU platform registers as "axon" (an out-of-process
+    # tunnel), not "tpu" — match bench.py's convention or DVSG_TEST_TPU=1
+    # silently skips every tpu-marked test (ADVICE round-3).
+    on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
     skip = pytest.mark.skip(reason="no TPU backend in test process")
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
