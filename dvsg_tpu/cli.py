@@ -231,6 +231,16 @@ def stabilize_main(argv=None) -> int:
                    help="stabilization strength: 1 = full correction "
                         "(default), 0 = passthrough, values between keep "
                         "some of the original camera motion")
+    p.add_argument("--path-smooth", type=int, default=0, metavar="FRAMES",
+                   help="cross-chunk camera-path smoothing horizon in "
+                        "frames (0 = off): removes low-frequency "
+                        "drift/sway the model's short window passes "
+                        "through, via an EMA over the measured camera "
+                        "path (pipeline/pathsmooth.py); try 32")
+    p.add_argument("--path-smooth-max", type=float, default=0.05,
+                   help="clamp on the extra smoothing correction per "
+                        "frame, in normalized units (bounds the border "
+                        "revealed; default 0.05)")
     p.add_argument("--resume-dir", default=None,
                    help="flush resume state here each chunk; restart "
                         "resumes at the last flushed chunk (frame-dir "
@@ -265,7 +275,8 @@ def stabilize_main(argv=None) -> int:
         baked = [name for name, given in
                  (("--strength", args.strength is not None),
                   ("--chunk-frames", args.chunk_frames is not None),
-                  ("--warp-impl", args.warp_impl is not None)) if given]
+                  ("--warp-impl", args.warp_impl is not None),
+                  ("--path-smooth", args.path_smooth != 0)) if given]
         if baked:
             print(f"ERROR: {', '.join(baked)}: baked into the artifact at "
                   "export time; re-export with dvsg-export, or stabilize "
@@ -331,20 +342,30 @@ def stabilize_main(argv=None) -> int:
 
         if _bad_strength(strength):
             return 2
+        if args.path_smooth < 0 or not 0 <= args.path_smooth_max <= 0.25:
+            print("ERROR: --path-smooth must be >= 0 and "
+                  "--path-smooth-max in [0, 0.25]", file=sys.stderr)
+            return 2
         chunk = args.chunk_frames or _auto_chunk(reader.height,
                                                  reader.width)
         if border_crop == "auto":
             # Pass 1 shares chunking/strength with pass 2 so both passes
-            # predict identical offsets (pipeline/autocrop.py).
+            # predict identical offsets (pipeline/autocrop.py); it also
+            # carries path_smooth so the crop reserves the smoothing
+            # clamp's margin.
             scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                                        warp_impl=warp_impl,
-                                       strength=strength)
+                                       strength=strength,
+                                       path_smooth=args.path_smooth,
+                                       path_smooth_max=args.path_smooth_max)
             border_crop = _run_autocrop_scan(scan_cfg, params,
                                              [args.input], video_io)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                               warp_impl=warp_impl,
                               border_crop=border_crop,
-                              strength=strength)
+                              strength=strength,
+                              path_smooth=args.path_smooth,
+                              path_smooth_max=args.path_smooth_max)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)

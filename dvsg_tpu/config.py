@@ -63,11 +63,32 @@ class StabilizeConfig:
                                   # (keeps more of the original framing),
                                   # (1, 2] = overcorrection (exaggerates the
                                   # predicted camera-path smoothing)
+    path_smooth: int = 0          # cross-chunk camera-path smoothing horizon
+                                  # in frames (EMA one-pole low-pass over the
+                                  # MEASURED camera translation path); 0 = off.
+                                  # The CNN corrects within its short window;
+                                  # this removes the low-frequency drift/sway
+                                  # that passes through it
+                                  # (pipeline/pathsmooth.py).
+    path_smooth_max: float = 0.05  # clamp on the extra path correction per
+                                   # frame, in normalized grid units — bounds
+                                   # the border revealed and keeps the fused
+                                   # kernel's coverage band reachable
 
     def __post_init__(self):
         if not 0.0 <= self.strength <= 2.0:
             raise ValueError(
                 f"strength must be in [0, 2], got {self.strength}")
+        if self.path_smooth < 0:
+            raise ValueError(
+                f"path_smooth must be >= 0, got {self.path_smooth}")
+        if self.path_smooth > 0 and self.model.window < 2:
+            # The smoother reads inter-frame deltas out of the carried
+            # halo; window 1 carries no halo to read them from.
+            raise ValueError("path_smooth requires model.window >= 2")
+        if not 0.0 <= self.path_smooth_max <= 0.25:
+            raise ValueError(f"path_smooth_max must be in [0, 0.25], got "
+                             f"{self.path_smooth_max}")
         # border_crop >= 0.5 flips the sign of the identity-grid scale
         # (1 - 2*crop, ops/grid.py): x would DECREASE with pixel index,
         # which inverts the per-block bounds the Pallas coverage guard

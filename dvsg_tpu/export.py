@@ -80,7 +80,12 @@ def export_chunk_program(cfg: StabilizeConfig, params, height: int,
     from jax import export as jexport
 
     from dvsg_tpu.ops import warp as warp_ops
+    from dvsg_tpu.pipeline import pathsmooth
     from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
+
+    # The artifact I/O signature has no smoothing-state slot; refuse
+    # rather than bake a config the loaded engine cannot honor.
+    pathsmooth.reject_unsupported(cfg, "AOT export (dvsg_tpu/export.py)")
 
     plats = tuple(platforms) if platforms else None
     cfg = resolve_cfg_platforms(cfg, plats)
@@ -121,7 +126,10 @@ def export_batch_program(cfg: StabilizeConfig, params, n_clips: int,
     from dvsg_tpu.ops import warp as warp_ops
     from dvsg_tpu.parallel.dp import _stabilize_chunk_batch
     from dvsg_tpu.parallel.mesh import DATA_AXIS
+    from dvsg_tpu.pipeline import pathsmooth
 
+    pathsmooth.reject_unsupported(
+        cfg, "AOT batch export (dvsg_tpu/export.py)")
     cfg = resolve_cfg_platforms(
         cfg, tuple(platforms) if platforms else None)
     shard = NamedSharding(mesh, P(DATA_AXIS))

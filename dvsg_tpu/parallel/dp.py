@@ -39,6 +39,9 @@ def _stabilize_chunk_batch(cfg: StabilizeConfig, params, frames_u8, halos):
 
 def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     """jit the batched chunk step with clips sharded over the data axis."""
+    from dvsg_tpu.pipeline import pathsmooth
+    pathsmooth.reject_unsupported(
+        cfg, "the DP sharded clip-batch surface (parallel/dp.py)")
     clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))
     clip_sharded_f = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())

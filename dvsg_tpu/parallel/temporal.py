@@ -72,6 +72,11 @@ def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     (stabilized (T, H, W, C) u8 sharded on T, tails (n_dev, window-1, ...)
     — take tails[-1] as the next chunk's halo). T % n_dev must be 0.
     """
+    from dvsg_tpu.pipeline import pathsmooth
+    # The smoothing EMA is sequential over time, which temporal sharding
+    # breaks — refuse rather than ship unsmoothed output under the flag.
+    pathsmooth.reject_unsupported(
+        cfg, "the temporal-sharded surface (parallel/temporal.py)")
     from jax import shard_map
 
     repl = NamedSharding(mesh, P())

@@ -205,10 +205,18 @@ def crop_for_max_offset(max_abs_offset: float) -> Tuple[float, bool]:
 def pick_border_crop(cfg: StabilizeConfig, params,
                      source) -> Tuple[float, float, bool]:
     """One-call pass 1: scan ``source`` (VideoReader or (T, H, W, C)
-    uint8 ndarray) and return (border_crop, max_abs_offset, capped)."""
+    uint8 ndarray) and return (border_crop, max_abs_offset, capped).
+
+    With path smoothing on (cfg.path_smooth > 0) the applied offsets are
+    the predicted ones plus a per-frame correction the predict-only scan
+    does not compute; that correction is clamped to ±path_smooth_max
+    (pipeline/pathsmooth.py anti-windup), so adding the clamp to the
+    scanned max keeps the crop bound exact-and-conservative."""
     if isinstance(source, np.ndarray):
         m = scan_clip_max_offset(cfg, params, source)
     else:
         m = scan_stream_max_offset(cfg, params, source)
+    if cfg.path_smooth > 0:
+        m += cfg.path_smooth_max
     crop, capped = crop_for_max_offset(m)
     return crop, m, capped

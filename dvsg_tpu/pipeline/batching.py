@@ -40,6 +40,7 @@ from dvsg_tpu.pipeline.stabilize import (drive_chunked_batch,
 @dataclass
 class _Request:
     frames: np.ndarray                    # (T, H, W, C) uint8
+    crop: Optional[float] = None          # per-request border_crop override
     done: threading.Event = field(default_factory=threading.Event)
     output: Optional[np.ndarray] = None
     error: Optional[Exception] = None
@@ -59,6 +60,9 @@ class BatchStabilizer:
 
     def __init__(self, cfg: StabilizeConfig, params,
                  max_batch: int = 8, window_s: float = 0.005):
+        from dvsg_tpu.pipeline import pathsmooth
+        pathsmooth.reject_unsupported(
+            cfg, "the serving batch engine (pipeline/batching.py)")
         self.cfg = cfg
         self.params = params
         self.max_batch = max(1, max_batch)
@@ -78,8 +82,19 @@ class BatchStabilizer:
 
     # -- public API -----------------------------------------------------
 
-    def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
-        """(T, H, W, C) uint8 → stabilized same shape; thread-safe."""
+    def stabilize_clip(self, frames_u8: np.ndarray,
+                       border_crop: Optional[float] = None) -> np.ndarray:
+        """(T, H, W, C) uint8 → stabilized same shape; thread-safe.
+
+        ``border_crop`` overrides the engine config's crop FOR THIS
+        REQUEST (the serve --border-crop auto path, VERDICT round-3
+        item 5): requests group by (resolution, crop), so co-travellers
+        with the same crop still share one device program. Callers must
+        pass values quantized to the autocrop grid (multiples of
+        1/64, pipeline/autocrop.py) — the crop is a STATIC argument of
+        the compiled program and unquantized values would grow the jit
+        cache per distinct float.
+        """
         frames_u8 = np.asarray(frames_u8)
         if frames_u8.ndim != 4 or frames_u8.shape[0] == 0:
             raise ValueError(f"need a (T, H, W, C) clip, "
@@ -89,7 +104,18 @@ class BatchStabilizer:
             # silently truncate to near-black garbage.
             raise TypeError(f"need uint8 frames in [0, 255], got "
                             f"{frames_u8.dtype}")
-        req = _Request(frames_u8)
+        if border_crop is not None:
+            from dvsg_tpu.pipeline.autocrop import CROP_DENOM
+            if not 0.0 <= border_crop < 0.5:
+                raise ValueError(f"border_crop must be in [0, 0.5), "
+                                 f"got {border_crop}")
+            steps = border_crop * CROP_DENOM
+            if abs(steps - round(steps)) > 1e-9:
+                raise ValueError(
+                    f"border_crop must be a multiple of 1/{CROP_DENOM} "
+                    f"(the compile-cache quantization grid), got "
+                    f"{border_crop}")
+        req = _Request(frames_u8, crop=border_crop)
         # The lock orders submission against close(): without it a
         # request enqueued after the worker consumed the shutdown
         # sentinel would block on req.done forever.
@@ -149,21 +175,32 @@ class BatchStabilizer:
             self.stats["requests"] += len(group)
             self.stats["max_group"] = max(self.stats["max_group"],
                                           len(group))
-            by_res: Dict[tuple, List[_Request]] = {}
+            # Group by (resolution, crop): the crop is a static arg of
+            # the compiled program, so requests with different measured
+            # auto-crops ride different programs — but same-crop
+            # co-travellers still batch (VERDICT round-3 item 5).
+            by_key: Dict[tuple, List[_Request]] = {}
             for r in group:
-                by_res.setdefault(r.frames.shape[1:], []).append(r)
-            for items in by_res.values():
+                by_key.setdefault((r.frames.shape[1:], r.crop),
+                                  []).append(r)
+            for (_, crop), items in by_key.items():
                 try:
-                    self._run_group(items)
+                    self._run_group(items, crop)
                 except Exception as e:     # noqa: BLE001 — demux errors
                     for r in items:
                         r.error = e
                         r.done.set()
 
-    def _fn(self, batch: int):
-        key = batch
+    def _group_cfg(self, crop: Optional[float]) -> StabilizeConfig:
+        return (self.cfg if crop is None
+                else self.cfg.replace(border_crop=crop))
+
+    def _fn(self, batch: int, crop: Optional[float]):
+        # Cache bounded: pow2 batches × crops quantized to 1/64
+        # (validated at submit) → ≤ log2(max_batch) × 32 programs.
+        key = (batch, crop)
         if key not in self._fns:
-            cfg = self.cfg
+            cfg = self._group_cfg(crop)
 
             def step(params, frames, halos):
                 return jax.vmap(
@@ -173,7 +210,8 @@ class BatchStabilizer:
             self._fns[key] = jax.jit(step)
         return self._fns[key]
 
-    def _run_group(self, items: List[_Request]):
+    def _run_group(self, items: List[_Request],
+                   crop: Optional[float] = None):
         b = len(items)
         bp = 1
         while bp < b:
@@ -195,10 +233,16 @@ class BatchStabilizer:
         # fetches only the b REAL clips — the pow2 padding clips must be
         # computed (one program per pow2 batch) but never transferred.
         cov: list = []
-        full = drive_chunked_batch(self._fn(bp), self.params, self.cfg,
-                                   batch, fetch_clips=b, coverage_out=cov)
+        full = drive_chunked_batch(self._fn(bp, crop), self.params,
+                                   self._group_cfg(crop), batch,
+                                   fetch_clips=b, coverage_out=cov)
         self.stats["batches"] += 1
         self.stats["coverage_fallback_chunks"] += sum(cov)
+        if crop is not None:
+            seen = self.stats.setdefault("crops_seen", [])
+            if crop not in seen:
+                seen.append(crop)
+                seen.sort()
         for i, r in enumerate(items):
             # copy: a slice of `full` is a VIEW that would pin the whole
             # (b, max_len, H, W, C) batch for as long as any caller holds

@@ -114,6 +114,9 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     to completion; the returned ``MultiClipResult`` says which clips
     need re-running. Only a failure of every clip raises.
     """
+    from dvsg_tpu.pipeline import pathsmooth
+    pathsmooth.reject_unsupported(
+        cfg, "the multi-clip batch surface (pipeline/multiclip.py)")
     timer = timer or StageTimer()
     n = len(readers)
     assert n == len(writers)

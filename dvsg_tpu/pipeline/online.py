@@ -30,6 +30,9 @@ class OnlineStabilizer:
     """
 
     def __init__(self, cfg: StabilizeConfig, params):
+        from dvsg_tpu.pipeline import pathsmooth
+        pathsmooth.reject_unsupported(
+            cfg, "the online per-frame surface (pipeline/online.py)")
         self.cfg = cfg
         self.params = params
         self._buf: List[np.ndarray] = []

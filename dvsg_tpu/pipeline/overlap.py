@@ -84,6 +84,7 @@ def stabilize_stream_overlapped(stab: Stabilizer,
     dec.start()
     enc.start()
 
+    stab.begin_stream()   # fresh per-stream state (path-smoothing EMA)
     halo = None
     written = 0
     hwc = None      # (H, W, C) of the stream, for the coverage note

@@ -88,6 +88,43 @@ def predict_chunk_offsets(cfg: StabilizeConfig, params, seq: jax.Array,
     return offsets
 
 
+def _chunk_body(cfg: StabilizeConfig, params, frames_u8: jax.Array,
+                halo: jax.Array, smooth_state):
+    """Shared body of the plain and path-smoothed chunk steps."""
+    mcfg = cfg.model
+    t, h, w, _ = frames_u8.shape
+    mh, mw = mcfg.model_size
+
+    # Matrix-form resize with normalize folded in (ops/resize.py): the
+    # model input comes straight off the uint8 chunk via two MXU matmuls;
+    # no full-resolution f32 frame is materialized anywhere in the chunk.
+    small = resize_ops.downscale_norm(frames_u8, mh, mw)
+    seq = jnp.concatenate([halo, small], axis=0)   # (T+N-1, mh, mw, C)
+
+    offsets = predict_chunk_offsets(cfg, params, seq, t)
+    new_state = smooth_state
+    if smooth_state is not None:
+        # Cross-chunk camera-path smoothing (pipeline/pathsmooth.py):
+        # add the measured low-frequency path correction the CNN's short
+        # window cannot see. Downstream (warp + coverage guard + the
+        # host-side coverage mirror) sees the FINAL offsets.
+        from dvsg_tpu.pipeline import pathsmooth
+        offsets, new_state = pathsmooth.apply_path_smoothing(
+            cfg, seq, offsets, smooth_state)
+    # Fused upsample+warp+quantize on the ORIGINAL uint8 frames straight
+    # from the coarse offsets: the Pallas path synthesizes sampling
+    # coordinates in-kernel, so no dense (T, H, W, 2) grid is ever
+    # materialized, and the 1/255 and 255 scales cancel inside the
+    # bilinear lerp — the warp payload never round-trips through f32 HBM
+    # (ops/warp_wide.py). The lax path builds the dense grid internally.
+    out_u8 = warp_ops.warp_quantize_batch(
+        frames_u8, warp_impl=cfg.warp_impl,
+        offsets=offsets, border_crop=cfg.border_crop)
+
+    new_halo = seq[t:]                              # last window-1 frames
+    return out_u8, new_halo, new_state, offsets
+
+
 def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
                          halo: jax.Array) -> Tuple[jax.Array, jax.Array,
                                                    jax.Array]:
@@ -103,33 +140,31 @@ def stabilize_chunk_impl(cfg: StabilizeConfig, params, frames_u8: jax.Array,
     Returns:
       (stabilized_u8 (T, H, W, C), new_halo, offsets (T, gh, gw, 2)).
     """
-    mcfg = cfg.model
-    t, h, w, _ = frames_u8.shape
-    mh, mw = mcfg.model_size
-
-    # Matrix-form resize with normalize folded in (ops/resize.py): the
-    # model input comes straight off the uint8 chunk via two MXU matmuls;
-    # no full-resolution f32 frame is materialized anywhere in the chunk.
-    small = resize_ops.downscale_norm(frames_u8, mh, mw)
-    seq = jnp.concatenate([halo, small], axis=0)   # (T+N-1, mh, mw, C)
-
-    offsets = predict_chunk_offsets(cfg, params, seq, t)
-    # Fused upsample+warp+quantize on the ORIGINAL uint8 frames straight
-    # from the coarse offsets: the Pallas path synthesizes sampling
-    # coordinates in-kernel, so no dense (T, H, W, 2) grid is ever
-    # materialized, and the 1/255 and 255 scales cancel inside the
-    # bilinear lerp — the warp payload never round-trips through f32 HBM
-    # (ops/warp_wide.py). The lax path builds the dense grid internally.
-    out_u8 = warp_ops.warp_quantize_batch(
-        frames_u8, warp_impl=cfg.warp_impl,
-        offsets=offsets, border_crop=cfg.border_crop)
-
-    new_halo = seq[t:]                              # last window-1 frames
+    out_u8, new_halo, _, offsets = _chunk_body(cfg, params, frames_u8,
+                                               halo, None)
     return out_u8, new_halo, offsets
+
+
+def stabilize_chunk_smooth_impl(cfg: StabilizeConfig, params,
+                                frames_u8: jax.Array, halo: jax.Array,
+                                smooth_state: jax.Array):
+    """Path-smoothed device step (cfg.path_smooth > 0).
+
+    Same contract as ``stabilize_chunk_impl`` plus a carried (2,) f32
+    smoothing state (pipeline/pathsmooth.py). Returns
+    (stabilized_u8, new_halo, new_smooth_state, offsets) — the offsets
+    are the APPLIED (smoothed) ones, so the host-side coverage mirror
+    stays exact.
+    """
+    return _chunk_body(cfg, params, frames_u8, halo, smooth_state)
 
 
 stabilize_chunk = functools.partial(
     jax.jit, static_argnums=(0,), donate_argnums=(2, 3))(stabilize_chunk_impl)
+
+stabilize_chunk_smooth = functools.partial(
+    jax.jit, static_argnums=(0,),
+    donate_argnums=(2, 3, 4))(stabilize_chunk_smooth_impl)
 
 
 def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
@@ -235,8 +270,11 @@ def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:
     segmented long-upload path relies on it (prefixing a segment with
     the previous window-1 raw frames reproduces the continuous stream
     exactly; tests/test_serve.py::test_long_upload_streams_in_segments
-    pins it). Any future cross-chunk state beyond input history (e.g.
-    path-smoothing EMA) must extend the halo AND revisit that path.
+    pins it). Cross-chunk state beyond input history exists exactly once
+    — the path-smoothing EMA (cfg.path_smooth > 0) — and it is carried
+    SEPARATELY, never in the halo; the two surfaces that depend on the
+    halo-only invariant handle it explicitly (serve rejects path_smooth
+    at startup, the resume record stores the state alongside the halo).
     """
     mcfg = cfg.model
     mh, mw = mcfg.model_size
@@ -262,6 +300,24 @@ class Stabilizer:
         # count turns "mysteriously slow clip" into a diagnosis.
         self.chunks_seen = 0
         self.coverage_fallbacks = 0
+        # Path-smoothing EMA state (pipeline/pathsmooth.py), reset at
+        # every stream start by begin_stream(). _chunk calls are strictly
+        # sequential in every driver (clip loop, sync stream, overlapped
+        # stream — the overlap is D2H-fetch-vs-compute, never
+        # chunk-vs-chunk dispatch), so instance-held state is safe.
+        self._smooth_state = None
+
+    def begin_stream(self, smooth_state=None) -> None:
+        """Reset per-stream state. Called by every driver at stream
+        start; ``smooth_state`` restores a resumed stream's carried
+        path-smoothing state."""
+        if self.cfg.path_smooth > 0:
+            from dvsg_tpu.pipeline import pathsmooth
+            self._smooth_state = (jnp.asarray(smooth_state, jnp.float32)
+                                  if smooth_state is not None
+                                  else pathsmooth.initial_state())
+        else:
+            self._smooth_state = None
 
     def _note_coverage(self, offsets, h: int, w: int, c: int) -> None:
         """Host-side mirror of the device coverage guard, per chunk.
@@ -286,6 +342,12 @@ class Stabilizer:
         (clip, sync stream, overlapped stream): subclasses that swap the
         program — e.g. export.ExportedStabilizer.engine()'s
         artifact-backed engine — override ONLY this."""
+        if self.cfg.path_smooth > 0:
+            if self._smooth_state is None:      # direct _chunk callers
+                self.begin_stream()
+            out, halo, self._smooth_state, offs = stabilize_chunk_smooth(
+                self.cfg, self.params, dev_chunk, halo, self._smooth_state)
+            return out, halo, offs
         return stabilize_chunk(self.cfg, self.params, dev_chunk, halo)
 
     def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
@@ -293,6 +355,7 @@ class Stabilizer:
         total = frames_u8.shape[0]
         if total == 0:
             return frames_u8
+        self.begin_stream()
         halo = initial_halo(self.cfg, frames_u8[0])
         t_chunk = self.cfg.chunk_frames
         outs = []
@@ -334,19 +397,31 @@ class Stabilizer:
         t_chunk = self.cfg.chunk_frames
         halo = None
         written = 0
+        self.begin_stream()
         if resume_dir:
             import os
             os.makedirs(resume_dir, exist_ok=True)
-            # ONE atomic artifact (halo + frames_written together): two
-            # separate files left a crash window where the halo was a
-            # chunk newer than the record — a resumed job would then
-            # stabilize its first chunk with the wrong input history.
+            # ONE atomic artifact (halo + frames_written + smoothing
+            # state together): separate files left a crash window where
+            # one piece was a chunk newer than the rest — a resumed job
+            # would then stabilize its first chunk with the wrong
+            # history.
             state_path = os.path.join(resume_dir, "resume_state.npz")
             if os.path.exists(state_path):
                 with np.load(state_path) as z:
                     written = int(z["frames_written"])
                     halo_np = np.array(z["halo"])
+                    smooth_np = (np.array(z["smooth_state"])
+                                 if "smooth_state" in z else None)
                 if written > 0:
+                    if self.cfg.path_smooth > 0 and smooth_np is None:
+                        # A record from a run without smoothing cannot
+                        # seed the EMA; resuming would silently jump the
+                        # camera path at the resume point.
+                        raise ValueError(
+                            "resume record was written without path "
+                            "smoothing but cfg.path_smooth > 0; restart "
+                            "the job (or point --resume-dir elsewhere)")
                     skipped = reader.skip(written)
                     if skipped != written:
                         raise ValueError(
@@ -354,6 +429,8 @@ class Stabilizer:
                             f"input only has {skipped} to skip")
                     writer.seek(written)
                     halo = jnp.asarray(halo_np)
+                    if smooth_np is not None:
+                        self.begin_stream(smooth_state=smooth_np)
         while True:
             with timer.stage("decode"):
                 chunk = reader.read_batch(t_chunk)
@@ -379,8 +456,10 @@ class Stabilizer:
             written += n_valid
             if resume_dir:
                 tmp = os.path.join(resume_dir, "resume_state.tmp.npz")
+                extra = ({"smooth_state": np.asarray(self._smooth_state)}
+                         if self.cfg.path_smooth > 0 else {})
                 np.savez(tmp, halo=np.asarray(halo),
-                         frames_written=written)
+                         frames_written=written, **extra)
                 os.replace(tmp, state_path)    # atomic flush
             if n_valid < t_chunk:
                 break

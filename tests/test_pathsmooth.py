@@ -1,0 +1,377 @@
+"""Cross-chunk camera-path smoothing (pipeline/pathsmooth.py).
+
+Covers: the phase-correlation shift estimator (sign + sub-pixel
+accuracy), the EMA recursion against a plain-numpy reference, exact
+cross-chunk state carry (chunk-size invariance), the end-to-end quality
+gate on a sway-heavy fixture (low-frequency sway the 5-frame window
+cannot see must shrink, and the output must track the constructed ideal
+EMA trajectory), stream/resume/overlap integration, and the loud
+rejection on surfaces that do not carry the state (VERDICT round-3
+item 2).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvsg_tpu.config import ModelConfig, StabilizeConfig
+from dvsg_tpu.models import motion_cnn
+from dvsg_tpu.ops import resize as resize_ops
+from dvsg_tpu.pipeline import pathsmooth
+from dvsg_tpu.pipeline.stabilize import Stabilizer
+from dvsg_tpu.train import synthetic
+
+MCFG = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                   base_features=8, blocks_per_level=1)
+CFG = StabilizeConfig(model=MCFG, chunk_frames=4, warp_impl="lax",
+                      path_smooth=8)
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return motion_cnn.init_params(MCFG, jax.random.key(0))
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    from dvsg_tpu.utils import checkpoint as ckpt
+    path = os.path.join(_ROOT, "checkpoints", "flagship_fast.npz")
+    return ckpt.load_npz(path)
+
+
+def _translation_clip(key, t, h, w, max_trans=0.05):
+    path = synthetic.random_camera_path(key, t, max_trans=max_trans,
+                                        max_angle=0.0, max_persp=0.0)
+    still = synthetic.random_still(jax.random.fold_in(key, 9), h, w)
+    frames = jax.vmap(lambda p: synthetic.jitter_frame(still, p))(path)
+    return frames, still, np.asarray(path)
+
+
+class TestMeasureShifts:
+    def test_integer_roll_is_exact(self):
+        img = np.asarray(synthetic.random_still(jax.random.key(0), 64, 64))
+        rolled = np.roll(np.roll(img, 3, axis=0), -2, axis=1)
+        seq = jnp.stack([jnp.asarray(img), jnp.asarray(rolled)]) - 0.5
+        d = np.asarray(pathsmooth.measure_shifts(seq))[0]
+        # roll(+3, axis=0): f_new(y) = f_old(y-3) → Δy_px = -3 (circular
+        # shift, so phase correlation is exact up to the refinement grid).
+        np.testing.assert_allclose(d[0], 2 * 2.0 / 63, atol=2e-3)   # x
+        np.testing.assert_allclose(d[1], -3 * 2.0 / 63, atol=2e-3)  # y
+
+    def test_synthetic_translation_accuracy_and_sign(self):
+        t = 12
+        frames, _, path = _translation_clip(jax.random.key(1), t, 160, 192)
+        u8 = jnp.clip(jnp.round(frames * 255), 0, 255).astype(jnp.uint8)
+        seq = resize_ops.downscale_norm(u8, 96, 96)
+        d = np.asarray(pathsmooth.measure_shifts(seq))
+        true = np.diff(path[:, :2], axis=0)
+        # Sub-pixel refinement keeps the estimator unbiased: sign must
+        # match and error stays well under a model-res pixel.
+        assert np.abs(d - true).max() < 0.004
+
+
+def _ref_corrections(deltas, n, horizon, clamp, t, d0=None):
+    """Plain-numpy reference of the documented recursion."""
+    p = np.concatenate([np.zeros((1, 2)), np.cumsum(deltas, axis=0)])
+    d = np.zeros(2) if d0 is None else np.array(d0, np.float64)
+    alpha = 2.0 / (horizon + 1.0)
+    es = []
+    for i in range(t):
+        g = i + n - 1
+        rel = p[g] - p[g - n + 1:g + 1].mean(axis=0)
+        d = (1 - alpha) * (d + (p[g] - p[g - 1]))
+        e = np.clip(rel - d, -clamp, clamp)
+        d = rel - e
+        es.append(e)
+    return np.array(es), d
+
+
+class TestRecursion:
+    def test_matches_numpy_reference(self):
+        rng = np.random.default_rng(0)
+        t, n = 12, 5
+        deltas = rng.normal(0, 0.01, (t + n - 2, 2)).astype(np.float32)
+        cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=32)
+        e, d = pathsmooth.smoothed_corrections(
+            cfg, jnp.asarray(deltas), t, pathsmooth.initial_state())
+        e_ref, d_ref = _ref_corrections(deltas.astype(np.float64), n, 32,
+                                        cfg.path_smooth_max, t)
+        np.testing.assert_allclose(np.asarray(e), e_ref, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-6)
+
+    def test_clamp_and_antiwindup(self):
+        # A large step saturates the clamp; anti-windup must absorb it so
+        # the correction recovers instead of winding up.
+        t, n = 6, 3
+        deltas = np.zeros((t + n - 2, 2), np.float32)
+        deltas[2] = (0.5, -0.5)
+        cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=16,
+                              path_smooth_max=0.03)
+        e, _ = pathsmooth.smoothed_corrections(
+            cfg, jnp.asarray(deltas), t, pathsmooth.initial_state())
+        e = np.asarray(e)
+        assert np.abs(e).max() <= 0.03 + 1e-6
+        e_ref, _ = _ref_corrections(deltas.astype(np.float64), n, 16,
+                                    0.03, t)
+        np.testing.assert_allclose(e, e_ref, atol=1e-6)
+
+    def test_split_equals_whole(self):
+        rng = np.random.default_rng(1)
+        t, n = 12, 5
+        deltas = rng.normal(0, 0.02, (t + n - 2, 2)).astype(np.float32)
+        cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=24)
+        e_all, _ = pathsmooth.smoothed_corrections(
+            cfg, jnp.asarray(deltas), t, pathsmooth.initial_state())
+        e1, d1 = pathsmooth.smoothed_corrections(
+            cfg, jnp.asarray(deltas[:6 + n - 2]), 6,
+            pathsmooth.initial_state())
+        e2, _ = pathsmooth.smoothed_corrections(
+            cfg, jnp.asarray(deltas[6:]), 6, d1)
+        np.testing.assert_allclose(np.concatenate([e1, e2]),
+                                   np.asarray(e_all), atol=1e-7)
+
+
+class TestPipelineIntegration:
+    def test_chunk_size_invariant(self, params, rng):
+        """The carried (2,) EMA state + halo-recomputed deltas make chunk
+        boundaries exact: different chunk sizes, identical bytes."""
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(3),
+                                                      11, 40, 48)
+        frames = np.asarray(frames_u8)
+        out2 = Stabilizer(CFG.replace(chunk_frames=2),
+                          params).stabilize_clip(frames)
+        out8 = Stabilizer(CFG.replace(chunk_frames=8),
+                          params).stabilize_clip(frames)
+        np.testing.assert_array_equal(out2, out8)
+
+    def test_smoothing_changes_output(self, params):
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(4),
+                                                      8, 40, 48)
+        frames = np.asarray(frames_u8)
+        out_off = Stabilizer(CFG.replace(path_smooth=0),
+                             params).stabilize_clip(frames)
+        out_on = Stabilizer(CFG, params).stabilize_clip(frames)
+        assert not np.array_equal(out_off, out_on)
+
+    def test_state_resets_between_clips(self, params):
+        """Two identical clips through ONE Stabilizer must produce
+        identical output (no state bleed across stabilize_clip calls)."""
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(5),
+                                                      8, 40, 48)
+        frames = np.asarray(frames_u8)
+        stab = Stabilizer(CFG, params)
+        np.testing.assert_array_equal(stab.stabilize_clip(frames),
+                                      stab.stabilize_clip(frames))
+
+
+class TestQualityGate:
+    """The reason the feature exists: low-frequency sway the CNN's short
+    window passes through must shrink, while output tracks the
+    constructed ideal EMA trajectory (VERDICT round-3 item 2 gates)."""
+
+    T, H, W = 64, 256, 320
+    HORIZON = 32
+
+    def _sway_clip(self):
+        t = np.arange(self.T)
+        rng = np.random.default_rng(3)
+        path5 = np.zeros((self.T, 5), np.float32)
+        path5[:, 0] = 0.05 * np.sin(2 * np.pi * t / 40) \
+            + rng.normal(0, 0.008, self.T)
+        path5[:, 1] = 0.04 * np.sin(2 * np.pi * t / 56 + 1.0) \
+            + rng.normal(0, 0.008, self.T)
+        still = synthetic.random_still(jax.random.key(11), self.H, self.W)
+        frames = jax.vmap(
+            lambda p: synthetic.jitter_frame(still, jnp.asarray(p)))(
+            jnp.asarray(path5))
+        to8 = lambda x: np.asarray(
+            jnp.clip(jnp.round(x * 255), 0, 255).astype(jnp.uint8))
+        return to8(frames), still, path5, to8
+
+    def _tracked_path_rms(self, frames):
+        from dvsg_tpu.utils import stab_metrics
+        cp = stab_metrics.camera_path(frames)
+        cp = np.where(np.isnan(cp), 0.0, cp)
+        p = np.cumsum(cp[:, :2], axis=0)
+        return float(np.sqrt(((p - p.mean(0)) ** 2).mean()))
+
+    def test_sway_shrinks_and_tracks_ideal(self, flagship):
+        pytest.importorskip("cv2")
+        from dvsg_tpu.utils.metrics import psnr
+        params, mcfg = flagship
+        frames, still, path5, to8 = self._sway_clip()
+        outs = {}
+        for horizon in (0, self.HORIZON):
+            cfg = StabilizeConfig(model=mcfg, chunk_frames=16,
+                                  warp_impl="lax", path_smooth=horizon)
+            outs[horizon] = Stabilizer(cfg, params).stabilize_clip(frames)
+
+        rms_plain = self._tracked_path_rms(outs[0])
+        rms_smooth = self._tracked_path_rms(outs[self.HORIZON])
+        # EMA-32 on period-40/56 sway: |H| ≈ 0.4-0.5, so the tracked
+        # sway RMS must drop well below the unsmoothed output's
+        # (measured 4.7 → 2.4 px on the round-4 fixture).
+        assert rms_smooth < 0.75 * rms_plain, (rms_smooth, rms_plain)
+
+        # Fidelity to the intended trajectory: render the ideal target
+        # from the TRUE path through the same discrete recursion.
+        n = mcfg.window
+        p = path5[:, :2].astype(np.float64)
+        pad = np.concatenate([np.repeat(p[:1], n - 1, 0), p])
+        abar = np.stack([pad[i:i + n].mean(0) for i in range(self.T)])
+        # Ideal e from the TRUE deltas through the same recursion; the
+        # replicate-padded halo contributes n-1 zero deltas, exactly as
+        # the pipeline's initial halo does.
+        deltas_padded = np.concatenate(
+            [np.zeros((n - 1, 2)), np.diff(p, axis=0)])
+        e_ref, _ = _ref_corrections(deltas_padded, n, self.HORIZON,
+                                    0.05, self.T)
+        target_xy = abar + e_ref
+        th = np.zeros((self.T, 5), np.float32)
+        th[:, :2] = target_xy
+        tgt = to8(jax.vmap(
+            lambda q: synthetic.jitter_frame(still, jnp.asarray(q)))(
+            jnp.asarray(th)))
+        bh, bw = int(self.H * 0.15), int(self.W * 0.15)
+        inner = lambda a: a[:, bh:self.H - bh, bw:self.W - bw]
+        p_db = psnr(inner(outs[self.HORIZON]), inner(tgt))
+        assert p_db > 45.0, p_db
+
+
+class _ArrayReader:
+    def __init__(self, frames, batch):
+        self.frames, self.i, self.batch = frames, 0, batch
+
+    def read_batch(self, k):
+        c = self.frames[self.i:self.i + k]
+        self.i += c.shape[0]
+        return c
+
+
+class _ListWriter:
+    def __init__(self):
+        self.chunks = []
+
+    def write_batch(self, x):
+        self.chunks.append(np.array(x))
+
+
+class TestStreamSurfaces:
+    def test_overlapped_equals_sync(self, params):
+        from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(6),
+                                                      10, 40, 48)
+        frames = np.asarray(frames_u8)
+        sync_out = Stabilizer(CFG, params).stabilize_clip(frames)
+        w = _ListWriter()
+        stab = Stabilizer(CFG, params)
+        n = stabilize_stream_overlapped(stab, _ArrayReader(frames, 4), w)
+        assert n == frames.shape[0]
+        np.testing.assert_array_equal(np.concatenate(w.chunks), sync_out)
+
+    def test_resume_matches_uninterrupted(self, params, tmp_path):
+        from dvsg_tpu.utils import video_io
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(7),
+                                                      10, 40, 48)
+        frames = np.asarray(frames_u8)
+
+        def run(inp, resume=None):
+            w = _ListWriter()
+            w.seek = lambda k: None
+            stab = Stabilizer(CFG, params)
+            stab.stabilize_stream(_ArrayReader(inp, 4), w,
+                                  resume_dir=resume)
+            return np.concatenate(w.chunks) if w.chunks else None
+
+        full = run(frames)
+        rdir = str(tmp_path / "r")
+        run(frames[:8], resume=rdir)          # "interrupted" after 2 chunks
+
+        # Resume with the full input: must skip 8 and continue with the
+        # carried halo AND smoothing state → identical to uninterrupted.
+        w2 = _ListWriter()
+        seeked = []
+        w2.seek = lambda k: seeked.append(k)
+        r2 = _ArrayReader(frames, 4)
+        r2.skip = lambda k: (setattr(r2, "i", k), k)[1]
+        Stabilizer(CFG, params).stabilize_stream(r2, w2, resume_dir=rdir)
+        assert seeked == [8]
+        np.testing.assert_array_equal(np.concatenate(w2.chunks), full[8:])
+
+    def test_resume_record_without_state_is_rejected(self, params,
+                                                     tmp_path):
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(8),
+                                                      8, 40, 48)
+        frames = np.asarray(frames_u8)
+        rdir = str(tmp_path / "r")
+
+        def run(cfg, inp):
+            w = _ListWriter()
+            w.seek = lambda k: None
+            r = _ArrayReader(inp, 4)
+            r.skip = lambda k: (setattr(r, "i", k), k)[1]
+            Stabilizer(cfg, params).stabilize_stream(r, w, resume_dir=rdir)
+
+        run(CFG.replace(path_smooth=0), frames[:4])   # record w/o state
+        with pytest.raises(ValueError, match="without path smoothing"):
+            run(CFG, frames)
+
+
+class TestUnsupportedSurfaces:
+    def test_batching_engine_rejects(self, params):
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        with pytest.raises(ValueError, match="path_smooth"):
+            BatchStabilizer(CFG, params)
+
+    def test_multiclip_rejects(self, params):
+        from dvsg_tpu.pipeline.multiclip import stabilize_multi
+        with pytest.raises(ValueError, match="path_smooth"):
+            stabilize_multi(CFG, params, [], [])
+
+    def test_online_rejects(self, params):
+        from dvsg_tpu.pipeline.online import OnlineStabilizer
+        with pytest.raises(ValueError, match="path_smooth"):
+            OnlineStabilizer(CFG, params)
+
+    def test_dp_and_temporal_reject(self, params):
+        from dvsg_tpu.parallel import dp, temporal
+        from dvsg_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((len(jax.devices()),))
+        with pytest.raises(ValueError, match="path_smooth"):
+            dp.make_sharded_chunk_fn(CFG, mesh)
+        with pytest.raises(ValueError, match="path_smooth"):
+            temporal.make_temporal_chunk_fn(CFG, mesh)
+
+    def test_export_rejects(self, params):
+        from dvsg_tpu import export
+        with pytest.raises(ValueError, match="path_smooth"):
+            export.export_chunk_program(CFG, params, 40, 48)
+
+    def test_autocrop_covers_smoothing_clamp(self, params):
+        from dvsg_tpu.pipeline.autocrop import pick_border_crop
+        frames = np.zeros((4, 40, 48, 3), np.uint8)
+        crop_plain, _, _ = pick_border_crop(
+            CFG.replace(path_smooth=0), params, frames)
+        crop_smooth, _, _ = pick_border_crop(CFG, params, frames)
+        # The smoothing correction is bounded by path_smooth_max; the
+        # picked crop must reserve at least that margin on top.
+        assert crop_smooth >= crop_plain + CFG.path_smooth_max / 2 - 1 / 64
+
+
+class TestConfigValidation:
+    def test_rejects_negative(self):
+        with pytest.raises(ValueError, match="path_smooth"):
+            StabilizeConfig(path_smooth=-1)
+
+    def test_rejects_window_one(self):
+        with pytest.raises(ValueError, match="window >= 2"):
+            StabilizeConfig(model=ModelConfig(window=1), path_smooth=8)
+
+    def test_rejects_bad_clamp(self):
+        with pytest.raises(ValueError, match="path_smooth_max"):
+            StabilizeConfig(path_smooth=8, path_smooth_max=0.5)
