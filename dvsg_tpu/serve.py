@@ -37,6 +37,7 @@ class _State:
     engine = None               # BatchStabilizer (owns the device worker)
     model_desc = ""
     max_upload = 1 << 30        # request-body cap in bytes (see do_POST)
+    autocrop = False            # --border-crop auto: measure per request
 
 
 def _build_handler(state: _State):
@@ -61,6 +62,7 @@ def _build_handler(state: _State):
                 self._json(200, {"status": "ok",
                                  "backend": jax.default_backend(),
                                  "model": state.model_desc,
+                                 "autocrop": state.autocrop,
                                  "batching": dict(state.engine.stats)})
             else:
                 self._json(404, {"error": "unknown path"})
@@ -97,7 +99,7 @@ def _build_handler(state: _State):
                              + ", ".join(sorted(_ALLOWED_FORMATS))})
                 return
             try:
-                out_bytes, n = _stabilize_bytes(state, data, fmt)
+                out_bytes, n, crop = _stabilize_bytes(state, data, fmt)
             except ValueError as e:
                 # Client-input problems are raised as ValueError with
                 # pre-sanitized messages (no server paths).
@@ -114,6 +116,8 @@ def _build_handler(state: _State):
             self.send_response(200)
             self.send_header("Content-Type", f"video/{fmt}")
             self.send_header("X-Frames", str(n))
+            if crop is not None:
+                self.send_header("X-Border-Crop", f"{crop:.6f}")
             self.send_header("Content-Length", str(len(out_bytes)))
             self.end_headers()
             self.wfile.write(out_bytes)
@@ -144,6 +148,14 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
     in one call (the carried halo is pure input history,
     pipeline/stabilize.py:initial_halo). Each segment still rides the
     shared batched device program with co-travelling requests.
+
+    ``--border-crop auto`` (state.autocrop): the request's crop is
+    measured by the predict-only scan (pipeline/autocrop.py, ~25% of a
+    chunk's device cost, dispatched from this request thread) on the
+    FIRST segment and reused for the rest — one framing per output
+    video. The engine groups co-travelling requests by (resolution,
+    crop), so distinct measured crops split programs but same-crop
+    requests still batch. Returns (bytes, frames, crop|None).
     """
     import numpy as np
 
@@ -173,6 +185,11 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
             c = _read_sanitized(reader, seg)
             if c.shape[0] == 0:
                 raise ValueError("no decodable frames in request body")
+            req_crop = None
+            if state.autocrop:
+                from dvsg_tpu.pipeline.autocrop import pick_border_crop
+                req_crop, _, _ = pick_border_crop(
+                    state.engine.cfg, state.engine.params, c)
             n_out = 0
             prefix = None            # last window-1 RAW frames
             with video_io.VideoWriter(dst, w, h, fps) as writer:
@@ -181,7 +198,8 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                         [prefix, c], axis=0)
                     # Concurrent requests ride ONE batched device
                     # program; decode/encode stay on this thread.
-                    out = state.engine.stabilize_clip(inp)
+                    out = state.engine.stabilize_clip(
+                        inp, border_crop=req_crop)
                     drop = 0 if prefix is None else prefix.shape[0]
                     writer.write_batch(out[drop:])
                     n_out += out.shape[0] - drop
@@ -195,17 +213,19 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                     del inp, out
                     c = _read_sanitized(reader, seg)
         with open(dst, "rb") as f:
-            return f.read(), n_out
+            return f.read(), n_out, req_crop
 
 
 def make_server(host: str, port: int, engine,
                 model_desc: str = "",
-                max_upload_bytes: int = 1 << 30) -> ThreadingHTTPServer:
+                max_upload_bytes: int = 1 << 30,
+                autocrop: bool = False) -> ThreadingHTTPServer:
     """``engine``: a pipeline.batching.BatchStabilizer."""
     state = _State()
     state.engine = engine
     state.model_desc = model_desc
     state.max_upload = max_upload_bytes
+    state.autocrop = autocrop
     srv = ThreadingHTTPServer((host, port), _build_handler(state))
     srv.engine = engine
     return srv
@@ -229,12 +249,15 @@ def main(argv=None) -> int:
                         "co-travellers after a request arrives")
     p.add_argument("--strength", type=float, default=1.0,
                    help="stabilization strength (1 full, 0 passthrough)")
-    p.add_argument("--border-crop", type=float, default=0.0,
-                   help="crop fraction zoomed into the warp (fixed for "
-                        "the server: requests batch onto ONE compiled "
-                        "program, so per-request 'auto' does not apply — "
-                        "pick a value with 'dvsg-stabilize --border-crop "
-                        "auto' on representative footage)")
+    p.add_argument("--border-crop", default="0",
+                   help="crop fraction zoomed into the warp, or 'auto': "
+                        "each request's crop is measured by a cheap "
+                        "predict-only scan of its first segment; the "
+                        "engine batches co-travelling requests by "
+                        "(resolution, crop), so distinct crops split "
+                        "programs while same-crop requests still share "
+                        "one (measured crop is returned in the "
+                        "X-Border-Crop response header)")
     p.add_argument("--max-upload-mb", type=int, default=1024,
                    help="reject request bodies above this size with 413 "
                         "(each request thread buffers its body in RAM)")
@@ -262,20 +285,22 @@ def main(argv=None) -> int:
         print("WARNING: serving an untrained (identity) model",
               file=sys.stderr)
 
-    from dvsg_tpu.cli import _bad_strength
+    from dvsg_tpu.cli import _bad_strength, _parse_border_crop
     if _bad_strength(args.strength):
         return 2
-    if not 0.0 <= args.border_crop < 0.5:
-        print("ERROR: --border-crop must be in [0, 0.5)", file=sys.stderr)
+    border_crop = _parse_border_crop(args.border_crop)
+    if border_crop is None:
         return 2
+    autocrop = border_crop == "auto"
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
                           warp_impl=args.warp_impl,
-                          border_crop=args.border_crop,
+                          border_crop=0.0 if autocrop else border_crop,
                           strength=args.strength)
     engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
                              window_s=args.batch_window_ms / 1e3)
     srv = make_server(args.host, args.port, engine, desc,
-                      max_upload_bytes=args.max_upload_mb << 20)
+                      max_upload_bytes=args.max_upload_mb << 20,
+                      autocrop=autocrop)
     print(f"serving on http://{args.host}:{args.port}  ({desc})")
     try:
         srv.serve_forever()
