@@ -487,6 +487,13 @@ def stabilize_batch_main(argv=None) -> int:
                    help="crop fraction, or 'auto': predict-only scan over "
                         "ALL clips picks one shared minimal crop (a single "
                         "value keeps the batch in one device program)")
+    p.add_argument("--path-smooth", type=int, default=0, metavar="FRAMES",
+                   help="cross-chunk camera-path smoothing horizon (see "
+                        "dvsg-stabilize --path-smooth); per-clip EMA "
+                        "states ride the batched program")
+    p.add_argument("--path-smooth-max", type=float, default=0.05,
+                   help="clamp on the extra smoothing correction "
+                        "(normalized units)")
     p.add_argument("--platform", default=None)
     p.add_argument("--metrics-out", default=None)
     _add_model_args(p)
@@ -521,6 +528,10 @@ def stabilize_batch_main(argv=None) -> int:
 
     if _bad_strength(args.strength):
         return 2
+    if args.path_smooth < 0 or not 0 <= args.path_smooth_max <= 0.25:
+        print("ERROR: --path-smooth must be >= 0 and "
+              "--path-smooth-max in [0, 0.25]", file=sys.stderr)
+        return 2
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1 and len(args.inputs) % n_dev == 0:
@@ -552,13 +563,17 @@ def stabilize_batch_main(argv=None) -> int:
         if border_crop == "auto":
             scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                                        warp_impl=args.warp_impl,
-                                       strength=args.strength)
+                                       strength=args.strength,
+                                       path_smooth=args.path_smooth,
+                                       path_smooth_max=args.path_smooth_max)
             border_crop = _run_autocrop_scan(scan_cfg, params, args.inputs,
                                              video_io)
         cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                               warp_impl=args.warp_impl,
                               border_crop=border_crop,
-                              strength=args.strength)
+                              strength=args.strength,
+                              path_smooth=args.path_smooth,
+                              path_smooth_max=args.path_smooth_max)
         writers = [video_io.VideoWriter(p_, w, h, readers[i].fps)
                    for i, p_ in enumerate(args.outputs)]
         timer = StageTimer()

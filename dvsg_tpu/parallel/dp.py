@@ -37,14 +37,35 @@ def _stabilize_chunk_batch(cfg: StabilizeConfig, params, frames_u8, halos):
     return out, new_halos, offs
 
 
+def _stabilize_chunk_batch_smooth(cfg: StabilizeConfig, params, frames_u8,
+                                  halos, states):
+    """Path-smoothed batched chunk step: per-clip (B, 2) EMA states ride
+    the same vmap (each clip's camera path is independent)."""
+    from dvsg_tpu.pipeline.stabilize import stabilize_chunk_smooth_impl
+    out, new_halos, new_states, offs = jax.vmap(
+        lambda f, h, s: stabilize_chunk_smooth_impl(cfg, params, f, h, s)
+    )(frames_u8, halos, states)
+    return out, new_halos, new_states, offs
+
+
 def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
-    """jit the batched chunk step with clips sharded over the data axis."""
-    from dvsg_tpu.pipeline import pathsmooth
-    pathsmooth.reject_unsupported(
-        cfg, "the DP sharded clip-batch surface (parallel/dp.py)")
+    """jit the batched chunk step with clips sharded over the data axis.
+
+    With cfg.path_smooth > 0 the returned fn takes and returns a fourth
+    (B, 2) per-clip smoothing-state array, sharded like the clips (use
+    ``pathsmooth.thread_batch_state`` to adapt it to the 3-arg drive
+    loop contract)."""
     clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))
     clip_sharded_f = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
+    if cfg.path_smooth > 0:
+        return jax.jit(
+            functools.partial(_stabilize_chunk_batch_smooth, cfg),
+            in_shardings=(repl, clip_sharded_u8, clip_sharded_f,
+                          clip_sharded_f),
+            out_shardings=(clip_sharded_u8, clip_sharded_f,
+                           clip_sharded_f, clip_sharded_f),
+        )
     return jax.jit(
         functools.partial(_stabilize_chunk_batch, cfg),
         in_shardings=(repl, clip_sharded_u8, clip_sharded_f),
@@ -71,8 +92,12 @@ class ShardedClipStabilizer:
             raise ValueError(
                 f"clip batch {b} must divide evenly over "
                 f"{self.mesh.devices.size} devices")
-        return drive_chunked_batch(self._fn, self.params, self.cfg,
-                                   clips_u8)
+        fn = self._fn
+        if self.cfg.path_smooth > 0:
+            from dvsg_tpu.pipeline import pathsmooth
+            fn = pathsmooth.thread_batch_state(
+                fn, b, sharding=NamedSharding(self.mesh, P(DATA_AXIS)))
+        return drive_chunked_batch(fn, self.params, self.cfg, clips_u8)
 
 
 # ---------------------------------------------------------------------------

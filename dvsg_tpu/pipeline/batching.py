@@ -60,9 +60,6 @@ class BatchStabilizer:
 
     def __init__(self, cfg: StabilizeConfig, params,
                  max_batch: int = 8, window_s: float = 0.005):
-        from dvsg_tpu.pipeline import pathsmooth
-        pathsmooth.reject_unsupported(
-            cfg, "the serving batch engine (pipeline/batching.py)")
         self.cfg = cfg
         self.params = params
         self.max_batch = max(1, max_batch)
@@ -202,10 +199,24 @@ class BatchStabilizer:
         if key not in self._fns:
             cfg = self._group_cfg(crop)
 
-            def step(params, frames, halos):
-                return jax.vmap(
-                    lambda f, h: stabilize_chunk_impl(cfg, params, f, h)
-                )(frames, halos)
+            if cfg.path_smooth > 0:
+                # Per-clip (B, 2) smoothing states ride the vmap; each
+                # whole in-memory request is one stream, so the state is
+                # threaded per _run_group call (thread_batch_state).
+                from dvsg_tpu.pipeline.stabilize import (
+                    stabilize_chunk_smooth_impl)
+
+                def step(params, frames, halos, states):
+                    return jax.vmap(
+                        lambda f, h, s: stabilize_chunk_smooth_impl(
+                            cfg, params, f, h, s)
+                    )(frames, halos, states)
+            else:
+                def step(params, frames, halos):
+                    return jax.vmap(
+                        lambda f, h: stabilize_chunk_impl(cfg, params,
+                                                          f, h)
+                    )(frames, halos)
 
             self._fns[key] = jax.jit(step)
         return self._fns[key]
@@ -233,7 +244,11 @@ class BatchStabilizer:
         # fetches only the b REAL clips — the pow2 padding clips must be
         # computed (one program per pow2 batch) but never transferred.
         cov: list = []
-        full = drive_chunked_batch(self._fn(bp, crop), self.params,
+        fn = self._fn(bp, crop)
+        if self.cfg.path_smooth > 0:
+            from dvsg_tpu.pipeline import pathsmooth
+            fn = pathsmooth.thread_batch_state(fn, bp)
+        full = drive_chunked_batch(fn, self.params,
                                    self._group_cfg(crop), batch,
                                    fetch_clips=b, coverage_out=cov)
         self.stats["batches"] += 1

@@ -114,9 +114,6 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     to completion; the returned ``MultiClipResult`` says which clips
     need re-running. Only a failure of every clip raises.
     """
-    from dvsg_tpu.pipeline import pathsmooth
-    pathsmooth.reject_unsupported(
-        cfg, "the multi-clip batch surface (pipeline/multiclip.py)")
     timer = timer or StageTimer()
     n = len(readers)
     assert n == len(writers)
@@ -138,10 +135,26 @@ def stabilize_multi(cfg: StabilizeConfig, params,
                 f"clip count {n} must be divisible by the mesh's "
                 f"{n_dev} devices for per-clip data parallelism")
         fn = dp.make_sharded_chunk_fn(cfg, mesh)
+        if cfg.path_smooth > 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dvsg_tpu.parallel.mesh import DATA_AXIS
+            from dvsg_tpu.pipeline import pathsmooth
+            fn = pathsmooth.thread_batch_state(
+                fn, n, sharding=NamedSharding(mesh, P(DATA_AXIS)))
     else:
         from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
-        fn = jax.jit(lambda p, f, hl: jax.vmap(
-            lambda ff, hh: stabilize_chunk_impl(cfg, p, ff, hh))(f, hl))
+        if cfg.path_smooth > 0:
+            from dvsg_tpu.pipeline import pathsmooth
+            from dvsg_tpu.pipeline.stabilize import (
+                stabilize_chunk_smooth_impl)
+            fn = pathsmooth.thread_batch_state(
+                jax.jit(lambda p, f, hl, st: jax.vmap(
+                    lambda ff, hh, ss: stabilize_chunk_smooth_impl(
+                        cfg, p, ff, hh, ss))(f, hl, st)), n)
+        else:
+            fn = jax.jit(lambda p, f, hl: jax.vmap(
+                lambda ff, hh: stabilize_chunk_impl(cfg, p, ff, hh))(f, hl))
 
     # Decode and encode failures are tracked separately: a decode error
     # is acted on only when its (final) empty sentinel batch arrives, so

@@ -55,19 +55,47 @@ from dvsg_tpu.config import StabilizeConfig
 
 
 def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
-    """Fail loudly where the smoothing state is not (yet) carried.
+    """Fail loudly where the smoothing state cannot be carried.
 
-    The EMA is strictly sequential over the camera path, so every
-    surface that runs chunks out of stream order (temporal sharding) or
-    without a per-stream state slot (batched programs, AOT artifacts)
-    must either implement the carry or refuse — silently dropping the
-    flag would ship unsmoothed output under a smoothing config.
+    The EMA is strictly sequential over each clip's camera path, so a
+    surface that runs chunks out of stream order (temporal sharding),
+    has no state slot in its baked I/O signature (AOT artifacts), or
+    re-enters per frame without a stream handle (online) must refuse —
+    silently dropping the flag would ship unsmoothed output under a
+    smoothing config. Clip-batched surfaces DO carry it (per-clip (B, 2)
+    states ride the vmap; see thread_batch_state).
     """
     if cfg.path_smooth > 0:
         raise ValueError(
             f"path_smooth is not supported on {surface}; supported "
-            "surfaces: Stabilizer.stabilize_clip / stabilize_stream / "
-            "the overlapped stream driver (dvsg-stabilize)")
+            "surfaces: Stabilizer clip/stream/overlapped drivers "
+            "(dvsg-stabilize), the clip-batch surfaces (stabilize-batch, "
+            "parallel/dp.py, the serving batch engine)")
+
+
+def thread_batch_state(fn4, n_clips: int, sharding=None):
+    """Adapt a 4-arg batched smooth chunk fn to the 3-arg drive-loop
+    contract by threading the per-clip (B, 2) states through a closure.
+
+    The drive loops (pipeline.stabilize.drive_chunked_batch, the
+    multiclip main loop) call ``fn(params, frames, halos)`` strictly in
+    chunk order, so a closure carrying the state between calls is exact;
+    fresh states are created here — one wrapper per clip batch. The
+    offsets stay the wrapped fn's LAST output, so coverage accounting
+    keeps working (it reads ``res[2]`` → here the re-packed 3rd slot).
+    """
+    states = jnp.stack([initial_state()] * n_clips)
+    if sharding is not None:
+        states = jax.device_put(states, sharding)
+    box = [states]
+
+    def fn(params, frames, halos):
+        out, new_halos, new_states, offs = fn4(params, frames, halos,
+                                               box[0])
+        box[0] = new_states
+        return out, new_halos, offs
+
+    return fn
 
 
 def initial_state() -> jax.Array:

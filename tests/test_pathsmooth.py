@@ -322,28 +322,77 @@ class TestStreamSurfaces:
             run(CFG, frames)
 
 
-class TestUnsupportedSurfaces:
-    def test_batching_engine_rejects(self, params):
+class TestBatchSurfaces:
+    """Per-clip (B, 2) EMA states ride the vmapped/sharded batch
+    programs; every batched output must be byte-identical to the
+    single-clip Stabilizer at the same config."""
+
+    def _clips(self, n, t=10):
+        return np.stack([
+            np.asarray(synthetic.synthetic_clip_u8(
+                jax.random.key(100 + i), t, 40, 48)[0])
+            for i in range(n)])
+
+    def test_batching_engine_matches_offline(self, params):
         from dvsg_tpu.pipeline.batching import BatchStabilizer
-        with pytest.raises(ValueError, match="path_smooth"):
-            BatchStabilizer(CFG, params)
+        clips = self._clips(2)
+        engine = BatchStabilizer(CFG, params, max_batch=2, window_s=0.05)
+        try:
+            for i in range(2):
+                out = engine.stabilize_clip(clips[i])
+                ref = Stabilizer(CFG, params).stabilize_clip(clips[i])
+                np.testing.assert_array_equal(out, ref)
+        finally:
+            engine.close()
 
-    def test_multiclip_rejects(self, params):
+    def test_dp_sharded_matches_single(self, params):
+        from dvsg_tpu.parallel.dp import ShardedClipStabilizer
+        from dvsg_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices())
+        mesh = make_mesh((n,))
+        clips = self._clips(n)
+        outs = ShardedClipStabilizer(CFG, params,
+                                     mesh).stabilize_clips(clips)
+        for i in range(n):
+            ref = Stabilizer(CFG, params).stabilize_clip(clips[i])
+            np.testing.assert_array_equal(outs[i], ref)
+
+    def test_multiclip_matches_offline(self, params, tmp_path):
         from dvsg_tpu.pipeline.multiclip import stabilize_multi
-        with pytest.raises(ValueError, match="path_smooth"):
-            stabilize_multi(CFG, params, [], [])
+        from dvsg_tpu.utils import video_io
+        clips = self._clips(2)
+        readers, writers, outdirs = [], [], []
+        for i in range(2):
+            ind = str(tmp_path / f"in{i}")
+            outd = str(tmp_path / f"out{i}")
+            with video_io.VideoWriter(ind, 48, 40, 30) as w:
+                w.write_batch(clips[i])
+            readers.append(video_io.VideoReader(ind))
+            writers.append(video_io.VideoWriter(outd, 48, 40, 30))
+            outdirs.append(outd)
+        res = stabilize_multi(CFG, params, readers, writers)
+        for r in readers:
+            r.close()
+        for w in writers:
+            w.close()
+        assert res.frames_written == [10, 10]
+        for i in range(2):
+            with video_io.VideoReader(outdirs[i]) as rd:
+                out = rd.read_batch(16)
+            ref = Stabilizer(CFG, params).stabilize_clip(clips[i])
+            np.testing.assert_array_equal(out, ref)
 
+
+class TestUnsupportedSurfaces:
     def test_online_rejects(self, params):
         from dvsg_tpu.pipeline.online import OnlineStabilizer
         with pytest.raises(ValueError, match="path_smooth"):
             OnlineStabilizer(CFG, params)
 
-    def test_dp_and_temporal_reject(self, params):
-        from dvsg_tpu.parallel import dp, temporal
+    def test_temporal_rejects(self, params):
+        from dvsg_tpu.parallel import temporal
         from dvsg_tpu.parallel.mesh import make_mesh
         mesh = make_mesh((len(jax.devices()),))
-        with pytest.raises(ValueError, match="path_smooth"):
-            dp.make_sharded_chunk_fn(CFG, mesh)
         with pytest.raises(ValueError, match="path_smooth"):
             temporal.make_temporal_chunk_fn(CFG, mesh)
 
