@@ -320,6 +320,27 @@ def main():
         with open("bench_detail.json", "w") as f:
             json.dump(detail, f, indent=2)
 
+    # Soft inner budget (set by the wrapper to just under its attempt
+    # timeout): expensive LATE metrics are skipped with a visible waiver
+    # instead of the whole attempt being killed mid-metric — a complete
+    # rc=0 run with a couple of detail rows marked skipped beats a
+    # partial-marked salvage. Measured per-metric costs on this box
+    # (round-4 timing runs; dominated by remote program LOADS, not
+    # compute): train ~125 s, overlap ~60-90 s, 8-clip ~35 s.
+    inner_budget = float(os.environ.get("DVSG_BENCH_INNER_BUDGET_S",
+                                        "inf"))
+    skipped = []
+    detail["skipped_for_budget"] = skipped
+
+    def budget_metric(label, est_s, fn, default=None):
+        left = inner_budget - (time.monotonic() - _T0)
+        if left < est_s:
+            log(f"{label} SKIPPED for the inner budget "
+                f"(~{est_s:.0f}s estimated, {left:.0f}s left)")
+            skipped.append(label)
+            return default
+        return _try_metric(label, fn, default)
+
     # CPU runs (smoke only) are ~200x slower per chunk; keep them short.
     # On TPU, 100+ iters keep the fetch-RTT correction under ~3% of the
     # timed window (VERDICT.md round-2 weak #4).
@@ -371,8 +392,8 @@ def main():
                   reference_style_cpu_windows=cpu_windows)
     flush_detail()
 
-    warp_us = _try_metric(
-        "720p warp micro-bench",
+    warp_us = budget_metric(
+        "720p warp micro-bench", 40,
         lambda: _bench_warp_kernel(cfg, params, h, w, batch=8,
                                    n_iters=60 if on_tpu else 5,
                                    windows=2 if on_tpu else 1))
@@ -409,14 +430,14 @@ def main():
                                        n_iters=iters, warm_reps=2,
                                        detail=det)
                 return {"fps_per_chip": fps_s, "chunk_frames": t, **det}
-            entry = _try_metric(f"{name} sweep", _sweep_one)
+            entry = budget_metric(f"{name} sweep", 55, _sweep_one)
             if entry is not None:
                 sweep[name] = entry
                 log(f"{name} chunked throughput: "
                     f"{entry['fps_per_chip']:.2f} frames/s/chip (T={t})")
             flush_detail()
-        warp_us_1080 = _try_metric(
-            "1080p warp micro-bench",
+        warp_us_1080 = budget_metric(
+            "1080p warp micro-bench", 40,
             lambda: _bench_warp_kernel(cfg, params, 1080, 1920, batch=8,
                                        n_iters=40))
         if warp_us_1080 is not None:
@@ -432,7 +453,7 @@ def main():
             lat_fps = _bench_chunked(cfg_lat, params, frames[:1],
                                      n_iters=200, warm_reps=2)
             return 1000.0 / lat_fps if lat_fps else None
-        latency_ms = _try_metric("720p T=1 latency", _latency)
+        latency_ms = budget_metric("720p T=1 latency", 20, _latency)
         if latency_ms is not None:
             log(f"720p single-frame latency: {latency_ms:.2f} ms (T=1)")
         detail["latency_ms_720p_T1"] = latency_ms
@@ -446,7 +467,7 @@ def main():
             cfg_ps = cfg.replace(path_smooth=32)
             return _bench_chunked(cfg_ps, params, frames, n_iters=60,
                                   warm_reps=2)
-        fps_smooth = _try_metric("720p path-smoothed", _smoothed)
+        fps_smooth = budget_metric("720p path-smoothed", 20, _smoothed)
         if fps_smooth is not None:
             log(f"720p with path_smooth=32: {fps_smooth:.2f} frames/s/chip "
                 f"({(1.0 - fps_smooth / fps) * 100.0:.1f}% cost)")
@@ -459,16 +480,16 @@ def main():
             cfg_mc = StabilizeConfig(model=mcfg, chunk_frames=16,
                                      warp_impl="auto")
             return _bench_batched_clips(cfg_mc, params, h, w)
-        fps_8clip = _try_metric("8-clip batch", _batched)
+        fps_8clip = budget_metric("8-clip batch", 40, _batched)
         if fps_8clip is not None:
             log(f"batched 8-clip 720p (config 4, device side): "
                 f"{fps_8clip:.1f} frames/s aggregate")
         detail["fps_720p_8clip_batch"] = fps_8clip
         flush_detail()
 
-        overlap = _try_metric("overlapped run",
-                              lambda: _bench_overlap(cfg, params, h, w),
-                              {})
+        overlap = budget_metric("overlapped run", 95,
+                                lambda: _bench_overlap(cfg, params, h, w),
+                                {})
         if overlap:
             log(f"overlapped run: {overlap['overlapped_fps']:.1f} fps, "
                 f"device idle {overlap.get('overlap_device_idle_pct')}% "
@@ -476,8 +497,8 @@ def main():
         detail["overlap"] = overlap
         flush_detail()
 
-        train_bench = _try_metric("train step",
-                                  lambda: _bench_train_step(mcfg))
+        train_bench = budget_metric("train step", 135,
+                                    lambda: _bench_train_step(mcfg))
         if train_bench is not None:
             log(f"train step ({train_bench['batch_size']}-clip synthetic "
                 f"batch): {train_bench['steps_per_sec']:.2f} steps/s, "
@@ -492,7 +513,8 @@ def main():
         detail["hbm"] = hbm
         flush_detail()
 
-    host_io = _try_metric("host mp4 I/O", lambda: _bench_host_io(h, w))
+    host_io = budget_metric("host mp4 I/O", 35,
+                            lambda: _bench_host_io(h, w))
     if host_io is not None:
         log(f"host mp4 I/O: encode {host_io['encode_fps']:.1f} fps, "
             f"decode {host_io['decode_fps']:.1f} fps "
@@ -516,14 +538,32 @@ def _shaky_frames(t, h, w):
     per-frame homography warp) would otherwise compile per resolution
     through the remote compile helper — measured ~40-50 s of each 60 s
     sweep entry in the round-4 timing run, most of the reason a full
-    inner run outgrew the wrapper's attempt budget."""
+    inner run outgrew the wrapper's attempt budget. Deterministic (seed
+    42), so it is also CACHED on disk: generating the 720p T=32 fixture
+    costs ~90 s on this 1-core host; every later run (including the
+    driver's) loads it in milliseconds."""
     import jax
     from dvsg_tpu.train import synthetic
 
+    cache_dir = os.path.expanduser("~/.dvsg_bench_fixtures")
+    path = os.path.join(cache_dir, f"shaky42_{t}x{h}x{w}.npy")
+    try:
+        return np.load(path)
+    except Exception:  # noqa: BLE001 — absent or corrupt: regenerate
+        pass
     with jax.default_device(jax.devices("cpu")[0]):
         frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(42),
                                                       t, h, w)
-        return np.asarray(frames_u8)
+        frames = np.asarray(frames_u8)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        # np.save appends .npy unless the name already ends with it.
+        tmp = f"{path}.{os.getpid()}.tmp.npy"
+        np.save(tmp, frames)
+        os.replace(tmp, path)          # atomic vs concurrent benchers
+    except OSError:
+        pass
+    return frames
 
 
 def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=None, n_iters=20):
@@ -894,8 +934,14 @@ def _run_with_retries():
             remaining = deadline - time.monotonic()
             if remaining < 5:
                 break
-        rc, headline = _run_attempt(cmd, env,
-                                    timeout_s=min(attempt_cap_s, remaining),
+        attempt_timeout = min(attempt_cap_s, remaining)
+        # Soft inner budget just under the hard kill: the inner skips
+        # late metrics (with a logged waiver + skipped_for_budget rows
+        # in bench_detail) and COMPLETES rc=0 instead of dying
+        # mid-metric with a partial-marked salvage.
+        env["DVSG_BENCH_INNER_BUDGET_S"] = str(max(60.0,
+                                                   attempt_timeout - 30.0))
+        rc, headline = _run_attempt(cmd, env, timeout_s=attempt_timeout,
                                     on_headline=stream)
         if rc == 0 and headline is not None:
             if headline != printed[0]:

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Long-horizon camera-path smoothing: remove drift/sway, not just jitter.
+
+The motion CNN corrects each frame toward the mean pose of its short
+temporal window, so fast shake disappears but slow sway (period longer
+than the window) passes straight through. `path_smooth` adds the
+missing stage: the camera trajectory is MEASURED chunk by chunk (phase
+correlation on the model-res frames the pipeline already computes) and
+low-passed with an EMA whose horizon you pick — exactly the two-pass
+"estimate path, smooth path" step of classical stabilizers, fused into
+the streaming pipeline with one 2-vector of carried state.
+
+This example builds a clip with pronounced sinusoidal sway plus jitter,
+stabilizes it with and without smoothing, and reports the tracked
+output path RMS for each (needs cv2 for the tracking; ships in the
+image).
+
+    python examples/07_path_smoothing.py [--platform cpu]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (anywhere) or leave default on a TPU host")
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--horizon", type=int, default=32,
+                    help="EMA horizon in frames (the --path-smooth value)")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvsg_tpu.config import StabilizeConfig
+    from dvsg_tpu.pipeline.stabilize import Stabilizer
+    from dvsg_tpu.train import synthetic
+    from dvsg_tpu.utils import checkpoint as ckpt
+    from dvsg_tpu.utils import stab_metrics
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params, mcfg = ckpt.load_npz(
+        os.path.join(root, "checkpoints", "flagship_fast.npz"))
+
+    # Sway (period ~40/56 frames — invisible to the 5-frame window) on
+    # top of white jitter (what the CNN removes).
+    t = np.arange(args.frames)
+    rng = np.random.default_rng(0)
+    path5 = np.zeros((args.frames, 5), np.float32)
+    path5[:, 0] = 0.05 * np.sin(2 * np.pi * t / 40) \
+        + rng.normal(0, 0.008, args.frames)
+    path5[:, 1] = 0.04 * np.sin(2 * np.pi * t / 56 + 1.0) \
+        + rng.normal(0, 0.008, args.frames)
+    still = synthetic.random_still(jax.random.key(11), 256, 320)
+    frames = jax.vmap(
+        lambda p: synthetic.jitter_frame(still, jnp.asarray(p)))(
+        jnp.asarray(path5))
+    clip = np.asarray(jnp.clip(jnp.round(frames * 255), 0,
+                               255).astype(jnp.uint8))
+
+    def path_rms(x):
+        cp = stab_metrics.camera_path(x)
+        cp = np.where(np.isnan(cp), 0.0, cp)
+        p = np.cumsum(cp[:, :2], axis=0)
+        return float(np.sqrt(((p - p.mean(0)) ** 2).mean()))
+
+    print(f"input tracked path RMS: {path_rms(clip):.2f} px")
+    for horizon in (0, args.horizon):
+        cfg = StabilizeConfig(model=mcfg, chunk_frames=16,
+                              warp_impl="auto" if not args.platform
+                              else "lax",
+                              path_smooth=horizon)
+        out = Stabilizer(cfg, params).stabilize_clip(clip)
+        label = f"path_smooth={horizon}" if horizon else "plain"
+        print(f"{label:>16}: tracked path RMS {path_rms(out):.2f} px")
+    print("smoothing removes the sway the window-relative model cannot "
+          "see; pair with --border-crop auto to hide the larger borders")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,7 +28,7 @@ HEADLINE = {"metric": "720p_stabilized_frames_per_sec_per_chip",
 
 def _fake_inner(tmp_path, body):
     p = tmp_path / "fake_inner.py"
-    p.write_text("import json, sys, time\n"
+    p.write_text("import json, os, sys, time\n"
                  f"HEADLINE = {HEADLINE!r}\n" + body)
     return str(p)
 
@@ -54,7 +54,12 @@ def _json_lines(stdout):
 
 
 def test_healthy_inner_prints_exactly_one_line(tmp_path):
+    # The fake also pins the wrapper→inner soft-budget contract: the
+    # inner must see a positive DVSG_BENCH_INNER_BUDGET_S so it can skip
+    # late metrics and complete clean instead of being killed mid-metric.
     res, _ = _run(tmp_path,
+                  "assert float(os.environ['DVSG_BENCH_INNER_BUDGET_S'])"
+                  " > 0\n"
                   "print(json.dumps(HEADLINE), flush=True)\n")
     assert res.returncode == 0
     lines = _json_lines(res.stdout)

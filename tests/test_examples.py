@@ -51,3 +51,9 @@ class TestExamples:
         r = _run("06_export_deploy.py", "--frames", "8")
         assert r.returncode == 0, r.stderr[-2000:]
         assert "stabilized 8 frames from the artifact" in r.stdout, r.stdout
+
+    def test_path_smoothing(self):
+        r = _run("07_path_smoothing.py", "--frames", "32",
+                 "--horizon", "16")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "path_smooth=16" in r.stdout, r.stdout
