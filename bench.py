@@ -106,9 +106,15 @@ def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2,
 
     fetch = _fetch
 
+    from dvsg_tpu.pipeline.stabilize import put_frames
+
     step = jax.jit(functools.partial(stabilize_chunk_impl, cfg))
     halo = initial_halo(cfg, frames_u8[0])
-    out = jax.device_put(jnp.asarray(frames_u8))
+    # put_frames' wide (H, W*C) view: a direct device_put of a
+    # tiny-last-dim uint8 array rides the ~2 MB/s transport path on this
+    # tunnel (ARCHITECTURE quirks) — 88 MB of 720p fixture cost 100+ s
+    # in one round-4 run.
+    out = put_frames(frames_u8)
     # Compile, then warm the chain until steady state (first reps pay
     # host-buffer upload and runtime warmup; we bench device steady state,
     # host I/O overlap is reported by the streaming pipeline metrics).
@@ -226,8 +232,9 @@ def _bench_warp_kernel(cfg, params, h, w, batch, n_iters=20, windows=2):
     from dvsg_tpu.pipeline.stabilize import (initial_halo,
                                              stabilize_chunk_impl)
 
+    from dvsg_tpu.pipeline.stabilize import put_frames
     frames_np = _shaky_frames(batch, h, w)
-    frames = jnp.asarray(frames_np)
+    frames = put_frames(frames_np)
     cfg_b = cfg.replace(chunk_frames=batch)
     step = jax.jit(functools.partial(stabilize_chunk_impl, cfg_b))
     _, _, offsets = step(params, frames, initial_halo(cfg_b, frames_np[0]))
@@ -584,8 +591,9 @@ def _bench_batched_clips(cfg, params, h, w, n_clips=8, t=None, n_iters=20):
     # ONE fixture replicated across slots: the vmapped program's timing
     # is content-independent, and generating 8 distinct clips cost ~60 s
     # of the round-4 timing run for no measurement value.
+    from dvsg_tpu.pipeline.stabilize import put_frames
     one = _shaky_frames(t, h, w)
-    frames = jnp.asarray(np.broadcast_to(one, (n_clips,) + one.shape))
+    frames = put_frames(np.broadcast_to(one, (n_clips,) + one.shape))
     halos = jnp.stack([initial_halo(cfg, one[0])] * n_clips)
 
     step = jax.jit(lambda p, f, hl: jax.vmap(

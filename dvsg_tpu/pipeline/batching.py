@@ -41,8 +41,12 @@ from dvsg_tpu.pipeline.stabilize import (drive_chunked_batch,
 class _Request:
     frames: np.ndarray                    # (T, H, W, C) uint8
     crop: Optional[float] = None          # per-request border_crop override
+    halo_in: Optional[np.ndarray] = None  # mid-stream carry: input history
+    smooth_state: Optional[np.ndarray] = None   # (2,) incoming EMA state
+    return_state: bool = False
     done: threading.Event = field(default_factory=threading.Event)
     output: Optional[np.ndarray] = None
+    out_carry: Optional[tuple] = None     # (halo, state) after last chunk
     error: Optional[Exception] = None
 
 
@@ -80,7 +84,8 @@ class BatchStabilizer:
     # -- public API -----------------------------------------------------
 
     def stabilize_clip(self, frames_u8: np.ndarray,
-                       border_crop: Optional[float] = None) -> np.ndarray:
+                       border_crop: Optional[float] = None,
+                       carry=None, return_carry: bool = False):
         """(T, H, W, C) uint8 → stabilized same shape; thread-safe.
 
         ``border_crop`` overrides the engine config's crop FOR THIS
@@ -91,6 +96,16 @@ class BatchStabilizer:
         1/64, pipeline/autocrop.py) — the crop is a STATIC argument of
         the compiled program and unquantized values would grow the jit
         cache per distinct float.
+
+        ``carry`` / ``return_carry`` (path smoothing only): a mid-stream
+        carry ``(halo (window-1, mh, mw, C) f32, smooth_state (2,) f32)``
+        for segment-threading callers (serve's bounded-memory long
+        uploads). With ``return_carry=True`` the call returns
+        ``(output, (halo, state))`` taken after this clip's LAST chunk.
+        Carry requests additionally group by clip LENGTH so the
+        pad-to-longest of mixed groups can never advance a carry past
+        the true stream position; callers must keep every non-final
+        segment a multiple of cfg.chunk_frames for the same reason.
         """
         frames_u8 = np.asarray(frames_u8)
         if frames_u8.ndim != 4 or frames_u8.shape[0] == 0:
@@ -112,7 +127,24 @@ class BatchStabilizer:
                     f"border_crop must be a multiple of 1/{CROP_DENOM} "
                     f"(the compile-cache quantization grid), got "
                     f"{border_crop}")
-        req = _Request(frames_u8, crop=border_crop)
+        if (carry is not None or return_carry) and self.cfg.path_smooth <= 0:
+            raise ValueError("carry/return_carry are the path-smoothing "
+                             "segment-threading API; cfg.path_smooth is 0")
+        if return_carry and frames_u8.shape[0] % self.cfg.chunk_frames:
+            raise ValueError(
+                "a segment that returns a carry (i.e. any NON-FINAL "
+                "segment) must be a multiple of chunk_frames="
+                f"{self.cfg.chunk_frames}: tail padding would advance "
+                f"the carry past the true stream position; got "
+                f"{frames_u8.shape[0]} frames")
+        halo_in = smooth_state = None
+        if carry is not None:
+            halo_in, smooth_state = carry
+            halo_in = np.asarray(halo_in, np.float32)
+            smooth_state = np.asarray(smooth_state, np.float32)
+        req = _Request(frames_u8, crop=border_crop, halo_in=halo_in,
+                       smooth_state=smooth_state,
+                       return_state=return_carry)
         # The lock orders submission against close(): without it a
         # request enqueued after the worker consumed the shutdown
         # sentinel would block on req.done forever.
@@ -123,6 +155,8 @@ class BatchStabilizer:
         req.done.wait()
         if req.error is not None:
             raise req.error
+        if return_carry:
+            return req.output, req.out_carry
         return req.output
 
     def close(self):
@@ -176,11 +210,18 @@ class BatchStabilizer:
             # the compiled program, so requests with different measured
             # auto-crops ride different programs — but same-crop
             # co-travellers still batch (VERDICT round-3 item 5).
+            # Carry requests (segment threading) additionally group by
+            # clip LENGTH: pad-to-longest of a mixed group would advance
+            # their carry past the true stream position.
             by_key: Dict[tuple, List[_Request]] = {}
             for r in group:
-                by_key.setdefault((r.frames.shape[1:], r.crop),
-                                  []).append(r)
-            for (_, crop), items in by_key.items():
+                carries = (r.return_state or r.halo_in is not None
+                           or r.smooth_state is not None)
+                by_key.setdefault(
+                    (r.frames.shape[1:], r.crop,
+                     r.frames.shape[0] if carries else None),
+                    []).append(r)
+            for (_, crop, _), items in by_key.items():
                 try:
                     self._run_group(items, crop)
                 except Exception as e:     # noqa: BLE001 — demux errors
@@ -244,13 +285,40 @@ class BatchStabilizer:
         # fetches only the b REAL clips — the pow2 padding clips must be
         # computed (one program per pow2 batch) but never transferred.
         cov: list = []
+        cfg_group = self._group_cfg(crop)
         fn = self._fn(bp, crop)
-        if self.cfg.path_smooth > 0:
+        smoothing = self.cfg.path_smooth > 0
+        any_ret = any(r.return_state for r in items)
+        init_halos = None
+        if any(r.halo_in is not None for r in items):
+            from dvsg_tpu.pipeline.stabilize import initial_halo
+            hs = [r.halo_in if r.halo_in is not None
+                  else np.asarray(initial_halo(cfg_group, r.frames[0]))
+                  for r in items]
+            hs += [hs[0]] * (bp - b)      # pad slots: any valid halo
+            init_halos = np.stack(hs)
+        wrapper = None
+        if smoothing:
             from dvsg_tpu.pipeline import pathsmooth
-            fn = pathsmooth.thread_batch_state(fn, bp)
-        full = drive_chunked_batch(fn, self.params,
-                                   self._group_cfg(crop), batch,
-                                   fetch_clips=b, coverage_out=cov)
+            init_states = None
+            if any(r.smooth_state is not None for r in items):
+                ss = [r.smooth_state if r.smooth_state is not None
+                      else np.zeros((2,), np.float32) for r in items]
+                ss += [ss[0]] * (bp - b)
+                init_states = np.stack(ss)
+            wrapper = pathsmooth.thread_batch_state(
+                fn, bp, init_states=init_states)
+            fn = wrapper
+        res = drive_chunked_batch(fn, self.params, cfg_group, batch,
+                                  fetch_clips=b, coverage_out=cov,
+                                  initial_halos=init_halos,
+                                  return_halos=any_ret)
+        if any_ret:
+            full, final_halos = res
+            final_halos = np.asarray(final_halos)
+            final_states = np.asarray(wrapper.states())
+        else:
+            full = res
         self.stats["batches"] += 1
         self.stats["coverage_fallback_chunks"] += sum(cov)
         if crop is not None:
@@ -264,4 +332,7 @@ class BatchStabilizer:
             # its output (a 5-frame clip grouped with a long segment
             # would retain the segment's full buffer).
             r.output = np.ascontiguousarray(full[i, :lens[i]])
+            if r.return_state:
+                r.out_carry = (final_halos[i].copy(),
+                               final_states[i].copy())
             r.done.set()

@@ -73,18 +73,25 @@ def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
             "parallel/dp.py, the serving batch engine)")
 
 
-def thread_batch_state(fn4, n_clips: int, sharding=None):
+def thread_batch_state(fn4, n_clips: int, sharding=None,
+                       init_states=None):
     """Adapt a 4-arg batched smooth chunk fn to the 3-arg drive-loop
     contract by threading the per-clip (B, 2) states through a closure.
 
     The drive loops (pipeline.stabilize.drive_chunked_batch, the
     multiclip main loop) call ``fn(params, frames, halos)`` strictly in
     chunk order, so a closure carrying the state between calls is exact;
-    fresh states are created here — one wrapper per clip batch. The
-    offsets stay the wrapped fn's LAST output, so coverage accounting
-    keeps working (it reads ``res[2]`` → here the re-packed 3rd slot).
+    fresh states are created here (or seeded from ``init_states`` for
+    mid-stream carries) — one wrapper per clip batch. The offsets stay
+    the wrapped fn's LAST output, so coverage accounting keeps working
+    (it reads ``res[2]`` → here the re-packed 3rd slot). The final
+    states are readable afterwards via ``fn.states()`` (the serving
+    engine returns them to segment-threading callers).
     """
-    states = jnp.stack([initial_state()] * n_clips)
+    if init_states is not None:
+        states = jnp.asarray(init_states, jnp.float32)
+    else:
+        states = jnp.stack([initial_state()] * n_clips)
     if sharding is not None:
         states = jax.device_put(states, sharding)
     box = [states]
@@ -95,6 +102,7 @@ def thread_batch_state(fn4, n_clips: int, sharding=None):
         box[0] = new_states
         return out, new_halos, offs
 
+    fn.states = lambda: box[0]
     return fn
 
 

@@ -170,7 +170,9 @@ stabilize_chunk_smooth = functools.partial(
 def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
                         clips_u8: np.ndarray,
                         fetch_clips: Optional[int] = None,
-                        coverage_out: Optional[list] = None) -> np.ndarray:
+                        coverage_out: Optional[list] = None,
+                        initial_halos=None,
+                        return_halos: bool = False):
     """Drive a vmapped/sharded chunk ``fn`` over an in-memory clip batch.
 
     The shared chunk/pad/dispatch/fetch loop of the clip-batch surfaces
@@ -189,6 +191,15 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
     Stabilizer._note_coverage) for the first ``fetch_clips`` clips; it
     is extended to k zeros and only counted on the Pallas path. ``fn``
     must then return the chunk offsets as its third output.
+
+    ``initial_halos`` ((B, window-1, mh, mw, C) f32, optional) seeds the
+    carried input history instead of the replicate-pad start — the
+    mid-stream carry the serving engine threads across a long upload's
+    segments; ``return_halos=True`` additionally returns the final
+    (B, ...) halos, so the result is ``(out, final_halos)``. Callers
+    that seed mid-stream halos must feed chunk-aligned segments: the
+    tail-padding frames of a non-aligned segment would advance the halo
+    past the true stream position.
 
     clips_u8 (B, T_total, H, W, C) uint8 → (fetch_clips, T_total, ...).
     """
@@ -211,10 +222,12 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
                     offs[i], h, w, border_crop=cfg.border_crop):
                 coverage_out[i] += 1
 
-    # Halos always start from the first frame here (pure input history);
-    # callers with mid-stream state use the streaming Stabilizer instead.
-    halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
-                       for i in range(b)])
+    if initial_halos is not None:
+        halos = jnp.asarray(initial_halos)
+    else:
+        # Replicate-pad start (pure input history) — a fresh stream.
+        halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
+                           for i in range(b)])
     outs = []
     pending = None       # (device out, offsets, n_valid): fetch AFTER
     for start in range(0, total, t_chunk):     # the next chunk dispatches
@@ -234,7 +247,10 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
         outs.append(fetch_frames(pending[0][:k, :pending[2]]))
         if check_cov:
             note_cov(pending[1])
-    return np.concatenate(outs, axis=1)
+    result = np.concatenate(outs, axis=1)
+    if return_halos:
+        return result, halos
+    return result
 
 
 def put_frames(host_frames: np.ndarray) -> jax.Array:

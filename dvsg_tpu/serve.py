@@ -191,6 +191,45 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                 req_crop, _, _ = pick_border_crop(
                     state.engine.cfg, state.engine.params, c)
             n_out = 0
+            if state.engine.cfg.path_smooth > 0:
+                # Path smoothing carries per-stream state (halo + EMA);
+                # the stateless prefix-replay below would double-consume
+                # the prefix frames' motion deltas. Instead the engine's
+                # carry API threads the exact mid-stream state across
+                # CHUNK-ALIGNED segments — bitwise-identical to a
+                # one-call stabilization of the whole upload
+                # (tests/test_serve.py pins it).
+                chunk = state.engine.cfg.chunk_frames
+                seg_al = max(chunk, seg // chunk * chunk)
+                buf, eof = c, c.shape[0] < seg
+                carry = None
+                with video_io.VideoWriter(dst, w, h, fps) as writer:
+                    while True:
+                        if buf.shape[0] < seg_al and not eof:
+                            nxt = _read_sanitized(reader, seg_al)
+                            eof = nxt.shape[0] < seg_al
+                            if nxt.shape[0]:
+                                buf = np.concatenate([buf, nxt], axis=0)
+                            continue
+                        if buf.shape[0] == 0:
+                            break     # stream ended exactly on a boundary
+                        final = eof and buf.shape[0] <= seg_al
+                        piece = buf if final else buf[:seg_al]
+                        buf = buf[:0] if final else buf[seg_al:].copy()
+                        if final:
+                            out = state.engine.stabilize_clip(
+                                piece, border_crop=req_crop, carry=carry)
+                        else:
+                            out, carry = state.engine.stabilize_clip(
+                                piece, border_crop=req_crop, carry=carry,
+                                return_carry=True)
+                        writer.write_batch(out)
+                        n_out += out.shape[0]
+                        del out, piece
+                        if final:
+                            break
+                with open(dst, "rb") as f:
+                    return f.read(), n_out, req_crop
             prefix = None            # last window-1 RAW frames
             with video_io.VideoWriter(dst, w, h, fps) as writer:
                 while c.shape[0] > 0:
@@ -249,6 +288,14 @@ def main(argv=None) -> int:
                         "co-travellers after a request arrives")
     p.add_argument("--strength", type=float, default=1.0,
                    help="stabilization strength (1 full, 0 passthrough)")
+    p.add_argument("--path-smooth", type=int, default=0, metavar="FRAMES",
+                   help="cross-chunk camera-path smoothing horizon (see "
+                        "dvsg-stabilize --path-smooth); long uploads "
+                        "thread the smoothing state across segments "
+                        "exactly via the engine's carry API")
+    p.add_argument("--path-smooth-max", type=float, default=0.05,
+                   help="clamp on the extra smoothing correction "
+                        "(normalized units)")
     p.add_argument("--border-crop", default="0",
                    help="crop fraction zoomed into the warp, or 'auto': "
                         "each request's crop is measured by a cheap "
@@ -292,10 +339,16 @@ def main(argv=None) -> int:
     if border_crop is None:
         return 2
     autocrop = border_crop == "auto"
+    if args.path_smooth < 0 or not 0 <= args.path_smooth_max <= 0.25:
+        print("ERROR: --path-smooth must be >= 0 and "
+              "--path-smooth-max in [0, 0.25]", file=sys.stderr)
+        return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
                           warp_impl=args.warp_impl,
                           border_crop=0.0 if autocrop else border_crop,
-                          strength=args.strength)
+                          strength=args.strength,
+                          path_smooth=args.path_smooth,
+                          path_smooth_max=args.path_smooth_max)
     engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
                              window_s=args.batch_window_ms / 1e3)
     srv = make_server(args.host, args.port, engine, desc,

@@ -444,3 +444,66 @@ class TestPerRequestAutoCrop:
                 engine.stabilize_clip(frames, border_crop=0.75)
         finally:
             engine.close()
+
+
+class TestSmoothedServing:
+    """path_smooth on the serving surface: the engine's carry API
+    threads (halo, EMA state) across chunk-aligned segments EXACTLY —
+    the prefix-replay trick would double-consume the prefix frames'
+    motion deltas."""
+
+    SCFG = CFG.replace(path_smooth=8, chunk_frames=4)
+
+    def _clip(self, t=14):
+        from dvsg_tpu.train import synthetic
+        u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(31), t,
+                                               40, 48)
+        return np.asarray(u8)
+
+    def test_engine_carry_matches_one_call(self):
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        params = motion_cnn.init_params(MCFG, jax.random.key(7))
+        clip = self._clip()
+        engine = BatchStabilizer(self.SCFG, params, max_batch=2,
+                                 window_s=0.02)
+        try:
+            whole = engine.stabilize_clip(clip)
+            o1, carry = engine.stabilize_clip(clip[:8],
+                                              return_carry=True)
+            o2 = engine.stabilize_clip(clip[8:], carry=carry)
+            np.testing.assert_array_equal(np.concatenate([o1, o2]),
+                                          whole)
+            with pytest.raises(ValueError, match="multiple of"):
+                engine.stabilize_clip(clip[:6], return_carry=True)
+            with pytest.raises(ValueError, match="path-smoothing"):
+                BatchStabilizer(CFG, params, window_s=0.02) \
+                    .stabilize_clip(clip, return_carry=True)
+        finally:
+            engine.close()
+
+    def test_smoothed_long_upload_segments_exactly(self, tmp_path):
+        """serve._stabilize_bytes with a tiny segment budget must equal
+        the whole-clip result bit-for-bit under path smoothing."""
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        params = motion_cnn.init_params(MCFG, jax.random.key(7))
+        clip = self._clip(t=18)
+        src_mp4 = str(tmp_path / "in.mp4")
+        with video_io.VideoWriter(src_mp4, 48, 40, fps=24.0) as w:
+            w.write_batch(clip)
+        with open(src_mp4, "rb") as f:
+            data = f.read()
+
+        engine = BatchStabilizer(self.SCFG, params, max_batch=2,
+                                 window_s=0.02)
+        state = serve._State()
+        state.engine = engine
+        try:
+            seg_bytes = 8 * 40 * 48 * 3   # 8 raw frames per segment
+            small, n_small, _ = serve._stabilize_bytes(
+                state, data, "mp4", segment_bytes=seg_bytes)
+            whole, n_whole, _ = serve._stabilize_bytes(state, data,
+                                                       "mp4")
+            assert n_small == n_whole == 18
+            assert small == whole      # byte-identical container
+        finally:
+            engine.close()
