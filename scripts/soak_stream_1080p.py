@@ -41,6 +41,9 @@ from dvsg_tpu.utils import checkpoint as ckpt
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--path-smooth", type=int, default=0,
+                    help="soak the smoothed chunk program instead "
+                         "(carried EMA state; prints its final bound)")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     args = ap.parse_args()
@@ -52,18 +55,40 @@ def main():
     h, w = args.height, args.width
     t = auto_chunk_frames(h, w)
     n_chunks = max(1, args.frames // t)
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=t, warp_impl="auto")
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=t, warp_impl="auto",
+                          path_smooth=args.path_smooth)
     print(f"backend={jax.default_backend()} {w}x{h} T={t} "
-          f"chunks={n_chunks} ({n_chunks * t} frames)", flush=True)
+          f"chunks={n_chunks} ({n_chunks * t} frames) "
+          f"path_smooth={args.path_smooth}", flush=True)
 
     from bench import _fetch, _shaky_frames  # repo root on sys.path
     import jax.numpy as jnp
 
     frames = jnp.asarray(_shaky_frames(t, h, w))
     halo = initial_halo(cfg, np.asarray(frames[0]))
-    step = jax.jit(functools.partial(stabilize_chunk_impl, cfg, params))
+    smoothing = args.path_smooth > 0
+    if smoothing:
+        from dvsg_tpu.pipeline import pathsmooth
+        from dvsg_tpu.pipeline.stabilize import stabilize_chunk_smooth_impl
+        sstate = pathsmooth.initial_state()
+        step_s = jax.jit(functools.partial(stabilize_chunk_smooth_impl,
+                                           cfg, params))
 
-    out, hl = step(frames, halo)[:2]     # warm/compile
+        def step(f, hl_and_state):
+            hl, st = hl_and_state
+            out, hl, st, _ = step_s(f, hl, st)
+            return out, (hl, st)
+        carry0 = (halo, sstate)
+    else:
+        step_p = jax.jit(functools.partial(stabilize_chunk_impl, cfg,
+                                           params))
+
+        def step(f, hl):
+            out, hl2, _ = step_p(f, hl)
+            return out, hl2
+        carry0 = halo
+
+    out, hl = step(frames, carry0)       # warm/compile
     _fetch(out)
     t0 = time.perf_counter()
     _fetch(out)
@@ -73,16 +98,20 @@ def main():
         """One pass: n_chunks chained device steps, one closing fetch."""
         t0 = time.perf_counter()
         for _ in range(n_chunks):
-            out, hl = step(out, hl)[:2]
+            out, hl = step(out, hl)
         _fetch(out)
         dt = time.perf_counter() - t0
         if t_fetch < 0.25 * dt:
             dt -= t_fetch
         return out, hl, dt
 
-    out, hl, dt_a = chain(frames, halo)
+    out, hl, dt_a = chain(frames, carry0)
     out, hl, dt_b = chain(out, hl)       # second pass: drift check
     final = np.asarray(jax.device_get(out))
+    if smoothing:
+        st = np.asarray(jax.device_get(hl[1]))
+        print(f"final EMA state D = {st} (|D| bounded, finite: "
+              f"{bool(np.isfinite(st).all())})", flush=True)
 
     fps = (n_chunks * t) / dt_b
     drift = (dt_b / dt_a - 1) * 100
@@ -97,6 +126,9 @@ def main():
     ok = (final.dtype == np.uint8 and 0 <= lo < hi <= 255
           and 10.0 < mean < 245.0 and final.std() > 1.0
           and abs(drift) < 10.0)
+    if smoothing:
+        ok = ok and bool(np.isfinite(st).all()) and float(
+            np.abs(st).max()) < 1.0
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
