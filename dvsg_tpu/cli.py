@@ -239,8 +239,12 @@ def stabilize_main(argv=None) -> int:
                         "path (pipeline/pathsmooth.py); try 32")
     p.add_argument("--path-smooth-max", type=float, default=0.05,
                    help="clamp on the extra smoothing correction per "
-                        "frame, in normalized units (bounds the border "
-                        "revealed; default 0.05)")
+                        "frame, per component (x/y normalized units, "
+                        "rotation radians; bounds the border revealed; "
+                        "default 0.05)")
+    p.add_argument("--path-smooth-no-rotation", action="store_true",
+                   help="smooth camera translation only (rotation sway "
+                        "is also measured and smoothed by default)")
     p.add_argument("--resume-dir", default=None,
                    help="flush resume state here each chunk; restart "
                         "resumes at the last flushed chunk (frame-dir "
@@ -353,19 +357,19 @@ def stabilize_main(argv=None) -> int:
             # predict identical offsets (pipeline/autocrop.py); it also
             # carries path_smooth so the crop reserves the smoothing
             # clamp's margin.
-            scan_cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                                       warp_impl=warp_impl,
-                                       strength=strength,
-                                       path_smooth=args.path_smooth,
-                                       path_smooth_max=args.path_smooth_max)
+            scan_cfg = StabilizeConfig(
+                model=mcfg, chunk_frames=chunk, warp_impl=warp_impl,
+                strength=strength, path_smooth=args.path_smooth,
+                path_smooth_max=args.path_smooth_max,
+                path_smooth_rotation=not args.path_smooth_no_rotation)
             border_crop = _run_autocrop_scan(scan_cfg, params,
                                              [args.input], video_io)
-        cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                              warp_impl=warp_impl,
-                              border_crop=border_crop,
-                              strength=strength,
-                              path_smooth=args.path_smooth,
-                              path_smooth_max=args.path_smooth_max)
+        cfg = StabilizeConfig(
+            model=mcfg, chunk_frames=chunk, warp_impl=warp_impl,
+            border_crop=border_crop, strength=strength,
+            path_smooth=args.path_smooth,
+            path_smooth_max=args.path_smooth_max,
+            path_smooth_rotation=not args.path_smooth_no_rotation)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)

@@ -71,9 +71,14 @@ class StabilizeConfig:
                                   # that passes through it
                                   # (pipeline/pathsmooth.py).
     path_smooth_max: float = 0.05  # clamp on the extra path correction per
-                                   # frame, in normalized grid units — bounds
-                                   # the border revealed and keeps the fused
+                                   # frame, per component (x/y in normalized
+                                   # grid units, θ in radians) — bounds the
+                                   # border revealed and keeps the fused
                                    # kernel's coverage band reachable
+    path_smooth_rotation: bool = True  # also measure + smooth rotation sway
+                                       # (half-frame differential phase
+                                       # correlation); translation-only when
+                                       # False
 
     def __post_init__(self):
         if not 0.0 <= self.strength <= 2.0:

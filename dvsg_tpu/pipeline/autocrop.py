@@ -209,14 +209,18 @@ def pick_border_crop(cfg: StabilizeConfig, params,
 
     With path smoothing on (cfg.path_smooth > 0) the applied offsets are
     the predicted ones plus a per-frame correction the predict-only scan
-    does not compute; that correction is clamped to ±path_smooth_max
-    (pipeline/pathsmooth.py anti-windup), so adding the clamp to the
-    scanned max keeps the crop bound exact-and-conservative."""
+    does not compute; each component of that correction is clamped to
+    ±path_smooth_max (pipeline/pathsmooth.py anti-windup) and the
+    rotation component contributes at most path_smooth_max at the frame
+    corners (|(-Y, X)| ≤ 1 in normalized units), so adding the clamp —
+    doubled when rotation smoothing is on — keeps the crop bound
+    exact-and-conservative."""
     if isinstance(source, np.ndarray):
         m = scan_clip_max_offset(cfg, params, source)
     else:
         m = scan_stream_max_offset(cfg, params, source)
     if cfg.path_smooth > 0:
-        m += cfg.path_smooth_max
+        m += cfg.path_smooth_max * (2.0 if cfg.path_smooth_rotation
+                                    else 1.0)
     crop, capped = crop_for_max_offset(m)
     return crop, m, capped

@@ -108,8 +108,8 @@ def thread_batch_state(fn4, n_clips: int, sharding=None,
 
 def initial_state() -> jax.Array:
     """Fresh smoothing state for the start of a stream: D = P − S = 0
-    (the EMA starts exactly on the path)."""
-    return jnp.zeros((2,), jnp.float32)
+    (the EMA starts exactly on the path). Components (x, y, θ)."""
+    return jnp.zeros((3,), jnp.float32)
 
 
 def _hann(n: int) -> jax.Array:
@@ -128,46 +128,38 @@ def _parabolic(rm: jax.Array, r0: jax.Array, rp: jax.Array) -> jax.Array:
     return jnp.clip(d, -0.5, 0.5)
 
 
-def measure_shifts(seq: jax.Array) -> jax.Array:
-    """Per-step camera translation deltas from consecutive frame pairs.
+def _phase_shifts_px(luma: jax.Array) -> jax.Array:
+    """Per-pair sub-pixel image shifts Δ in PIXELS from phase correlation.
 
-    Args:
-      seq: (K, mh, mw, C) f32 model-resolution frames centered at 0 (the
-        exact array the chunk already computes for the CNN).
+    ``luma``: (K, ph, pw) f32. Returns (K-1, 2) with last dim (Δx, Δy)
+    such that f_t(p) = f_{t-1}(p + Δ) — i.e. the inter-frame camera
+    motion of the patch, positive when the sampling grid must move the
+    same way.
 
-    Returns:
-      (K-1, 2) f32 deltas in NORMALIZED grid units (align_corners
-      convention, last dim (x, y)): delta[k] = a_{k+1} − a_k where frame
-      i is the scene seen through a camera translated by a_i — i.e. the
-      inter-frame camera motion, positive when the sampling grid must
-      move the same way (matches ops/grid.py offset semantics; sign
-      pinned by tests/test_pathsmooth.py against synthetic translations).
-
-    Phase correlation: for f_t(p) = f_{t-1}(p + Δ) the cross-power
-    spectrum F_t·conj(F_{t-1})/|·| inverse-transforms to a delta at −Δ
-    (mod size). The integer peak is refined by evaluating the
-    correlation on a 1/8-px grid in a ±1.5-px neighborhood via a small
-    explicit (separable) DFT — a 3-point parabola directly on the
-    Dirichlet-kernel peak systematically SHRINKS sub-pixel shifts (~0.78
-    slope measured), which would under-correct the sway by 20%+; the
-    upsampled evaluation measures 0.93-0.95 slope / <0.07 px error on
-    the synthetic fixtures. A Hann window suppresses the spectral
-    leakage of the non-periodic frame boundary.
+    Phase correlation: the cross-power spectrum F_t·conj(F_{t-1})/|·|
+    inverse-transforms to a delta at −Δ (mod size). The integer peak is
+    refined by evaluating the correlation on a 1/8-px grid in a ±1.5-px
+    neighborhood via a small explicit (separable) DFT — a 3-point
+    parabola directly on the Dirichlet-kernel peak systematically
+    SHRINKS sub-pixel shifts (~0.78 slope measured), which would
+    under-correct the sway by 20%+; the upsampled evaluation measures
+    0.93-0.95 slope / <0.07 px error on the synthetic fixtures. A Hann
+    window suppresses the spectral leakage of the non-periodic patch
+    boundary.
     """
-    k, mh, mw, _ = seq.shape
-    luma = seq.astype(jnp.float32).mean(axis=-1)          # (K, mh, mw)
-    win = _hann(mh)[:, None] * _hann(mw)[None, :]
-    f = jnp.fft.fft2(luma * win)                           # (K, mh, mw)
+    k, ph, pw = luma.shape
+    win = _hann(ph)[:, None] * _hann(pw)[None, :]
+    f = jnp.fft.fft2(luma * win)                           # (K, ph, pw)
     cross = f[1:] * jnp.conj(f[:-1])
-    cross = cross / (jnp.abs(cross) + 1e-12)               # (K-1, mh, mw)
+    cross = cross / (jnp.abs(cross) + 1e-12)               # (K-1, ph, pw)
     r = jnp.fft.ifft2(cross).real
 
-    flat = r.reshape(k - 1, mh * mw)
+    flat = r.reshape(k - 1, ph * pw)
     idx = jnp.argmax(flat, axis=-1)
-    iy, ix = idx // mw, idx % mw
+    iy, ix = idx // pw, idx % pw
     # Unwrap the circular peak index to a signed integer shift.
-    p0y = jnp.where(iy > mh // 2, iy - mh, iy).astype(jnp.float32)
-    p0x = jnp.where(ix > mw // 2, ix - mw, ix).astype(jnp.float32)
+    p0y = jnp.where(iy > ph // 2, iy - ph, iy).astype(jnp.float32)
+    p0x = jnp.where(ix > pw // 2, ix - pw, ix).astype(jnp.float32)
 
     # Upsampled correlation around the integer peak: 25 samples at
     # 1/8-px pitch per axis, evaluated as two small complex matmuls per
@@ -175,12 +167,12 @@ def measure_shifts(seq: jax.Array) -> jax.Array:
     # chunk already FFT'd, invisible next to the CNN forward.
     n_up, span = 25, 1.5
     o = jnp.linspace(-span, span, n_up, dtype=jnp.float32)
-    fy = jnp.fft.fftfreq(mh).astype(jnp.float32)
-    fx = jnp.fft.fftfreq(mw).astype(jnp.float32)
+    fy = jnp.fft.fftfreq(ph).astype(jnp.float32)
+    fx = jnp.fft.fftfreq(pw).astype(jnp.float32)
     ey = jnp.exp(2j * jnp.pi * (p0y[:, None] + o[None, :])[:, :, None]
-                 * fy[None, None, :])                      # (K-1, 25, mh)
+                 * fy[None, None, :])                      # (K-1, 25, ph)
     ex = jnp.exp(2j * jnp.pi * fx[None, :, None]
-                 * (p0x[:, None] + o[None, :])[:, None, :])  # (K-1, mw, 25)
+                 * (p0x[:, None] + o[None, :])[:, None, :])  # (K-1, pw, 25)
     up = jnp.einsum("kmh,khw,kwn->kmn", ey, cross, ex).real  # (K-1, 25, 25)
 
     upf = up.reshape(k - 1, n_up * n_up)
@@ -197,12 +189,63 @@ def measure_shifts(seq: jax.Array) -> jax.Array:
     r0 = at(0, 0)
     sy = _parabolic(at(-1, 0), r0, at(1, 0)) * step
     sx = _parabolic(at(0, -1), r0, at(0, 1)) * step
-    py = p0y + o[uy] + sy
-    px = p0x + o[ux] + sx
     # The correlation peak sits at −Δ.
-    dx = -px * (2.0 / max(mw - 1, 1))       # px → normalized (align_corners)
-    dy = -py * (2.0 / max(mh - 1, 1))
-    return jnp.stack([dx, dy], axis=-1)
+    return jnp.stack([-(p0x + o[ux] + sx), -(p0y + o[uy] + sy)], axis=-1)
+
+
+def measure_shifts(seq: jax.Array) -> jax.Array:
+    """Per-step camera translation deltas from consecutive frame pairs.
+
+    Args:
+      seq: (K, mh, mw, C) f32 model-resolution frames centered at 0 (the
+        exact array the chunk already computes for the CNN).
+
+    Returns:
+      (K-1, 2) f32 deltas in NORMALIZED grid units (align_corners
+      convention, last dim (x, y)): delta[k] = a_{k+1} − a_k where frame
+      i is the scene seen through a camera translated by a_i (sign
+      pinned by tests/test_pathsmooth.py against synthetic translations).
+    """
+    _, mh, mw, _ = seq.shape
+    luma = seq.astype(jnp.float32).mean(axis=-1)          # (K, mh, mw)
+    d = _phase_shifts_px(luma)
+    scale = jnp.array([2.0 / max(mw - 1, 1), 2.0 / max(mh - 1, 1)],
+                      jnp.float32)
+    return d * scale
+
+
+def measure_motion(seq: jax.Array) -> jax.Array:
+    """Per-step camera (Δx, Δy, Δθ) from consecutive frame pairs.
+
+    Translation from full-frame phase correlation; rotation from the
+    DIFFERENTIAL translation of half-frame patches — a rotation δθ about
+    the center moves the left/right half centers by ∓δθ/2 vertically and
+    the top/bottom half centers by ±δθ/2 horizontally (poses act on
+    normalized coords, matching train/synthetic.jitter_theta), so
+
+        δθ ≈ ((dyR − dyL)/Δx_lr + (dxT − dxB)/Δy_tb) / 2
+
+    with the two independent estimates averaged (√2 noise reduction).
+    Four extra half-size FFTs per pair — still invisible next to the
+    CNN forward.
+    """
+    _, mh, mw, _ = seq.shape
+    luma = seq.astype(jnp.float32).mean(axis=-1)
+    txy = measure_shifts(seq)                              # (K-1, 2)
+
+    half_w, half_h = mw // 2, mh // 2
+    d_l = _phase_shifts_px(luma[:, :, :half_w])
+    d_r = _phase_shifts_px(luma[:, :, mw - half_w:])
+    d_t = _phase_shifts_px(luma[:, :half_h, :])
+    d_b = _phase_shifts_px(luma[:, mh - half_h:, :])
+
+    # Half-center separations in normalized units.
+    sep_x = half_w * 2.0 / max(mw - 1, 1)      # left↔right centers
+    sep_y = half_h * 2.0 / max(mh - 1, 1)      # top↔bottom centers
+    dy_lr = (d_r[:, 1] - d_l[:, 1]) * (2.0 / max(mh - 1, 1))
+    dx_tb = (d_t[:, 0] - d_b[:, 0]) * (2.0 / max(mw - 1, 1))
+    dtheta = 0.5 * (dy_lr / sep_x + dx_tb / sep_y)
+    return jnp.concatenate([txy, dtheta[:, None]], axis=-1)
 
 
 def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
@@ -212,13 +255,14 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
 
     Args:
       cfg: pipeline config (path_smooth > 0).
-      deltas: (T + window − 2, 2) inter-frame deltas over the chunk's
-        model-res sequence (halo + current frames), from measure_shifts.
+      deltas: (T + window − 2, C) inter-frame deltas over the chunk's
+        model-res sequence (halo + current frames), from measure_motion
+        (C=3: x, y, θ) — the recursion is component-generic.
       t: output frames in the chunk (static).
-      state: (2,) f32 carried D = P − S from the previous chunk.
+      state: (C,) f32 carried D = P − S from the previous chunk.
 
     Returns:
-      (e (t, 2) f32 normalized units, new_state (2,) f32).
+      (e (t, C) f32 normalized units (θ in radians), new_state (C,)).
 
     Derivation (all quantities are differences of the accumulated path
     P, so the absolute path never appears):
@@ -266,11 +310,30 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
                          ) -> Tuple[jax.Array, jax.Array]:
     """offsets (T, gh, gw, 2) → smoothed offsets, plus the new state.
 
-    The constant-per-frame correction is added to every control point,
-    which after bilinear upsampling is exactly a rigid translation of
-    the sampling grid.
+    The translation correction is a constant added to every control
+    point — after bilinear upsampling, exactly a rigid translation of
+    the sampling grid. The rotation correction adds the linear field
+    e_θ·(−Y, X) at the control points' normalized positions; linear
+    fields are exactly representable by the bilinear upsample
+    (ops/grid.py:upsample_offsets), so this is exactly a small rigid
+    rotation of the grid. With ``cfg.path_smooth_rotation`` False, only
+    translation is measured and corrected.
     """
-    t = offsets.shape[0]
-    deltas = measure_shifts(seq)
+    from dvsg_tpu.ops import grid as grid_ops
+
+    t, gh, gw, _ = offsets.shape
+    if cfg.path_smooth_rotation:
+        deltas = measure_motion(seq)
+    else:
+        deltas = measure_shifts(seq)
+        deltas = jnp.concatenate(
+            [deltas, jnp.zeros((deltas.shape[0], 1), deltas.dtype)],
+            axis=-1)
     e, new_state = smoothed_corrections(cfg, deltas, t, state)
-    return offsets + e[:, None, None, :].astype(offsets.dtype), new_state
+    out = offsets + e[:, None, None, :2].astype(offsets.dtype)
+    if cfg.path_smooth_rotation:
+        g = grid_ops.identity_grid(gh, gw)          # (gh, gw, 2) (x, y)
+        rot = jnp.stack([-g[..., 1], g[..., 0]], axis=-1)
+        out = out + (e[:, 2][:, None, None, None]
+                     * rot[None]).astype(offsets.dtype)
+    return out, new_state

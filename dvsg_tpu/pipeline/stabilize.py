@@ -329,9 +329,14 @@ class Stabilizer:
         path-smoothing state."""
         if self.cfg.path_smooth > 0:
             from dvsg_tpu.pipeline import pathsmooth
-            self._smooth_state = (jnp.asarray(smooth_state, jnp.float32)
-                                  if smooth_state is not None
-                                  else pathsmooth.initial_state())
+            if smooth_state is not None:
+                s = jnp.asarray(smooth_state, jnp.float32)
+                if s.shape[0] < 3:      # pre-rotation (2,) resume record
+                    s = jnp.concatenate([s, jnp.zeros((3 - s.shape[0],),
+                                                      jnp.float32)])
+                self._smooth_state = s
+            else:
+                self._smooth_state = pathsmooth.initial_state()
         else:
             self._smooth_state = None
 

@@ -92,13 +92,16 @@ def _ref_corrections(deltas, n, horizon, clamp, t, d0=None):
 
 
 class TestRecursion:
+    # The recursion is component-generic; the unit tests drive it with
+    # 2-component deltas and an explicit (2,) zero state.
+
     def test_matches_numpy_reference(self):
         rng = np.random.default_rng(0)
         t, n = 12, 5
         deltas = rng.normal(0, 0.01, (t + n - 2, 2)).astype(np.float32)
         cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=32)
         e, d = pathsmooth.smoothed_corrections(
-            cfg, jnp.asarray(deltas), t, pathsmooth.initial_state())
+            cfg, jnp.asarray(deltas), t, jnp.zeros((2,)))
         e_ref, d_ref = _ref_corrections(deltas.astype(np.float64), n, 32,
                                         cfg.path_smooth_max, t)
         np.testing.assert_allclose(np.asarray(e), e_ref, atol=1e-6)
@@ -113,7 +116,7 @@ class TestRecursion:
         cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=16,
                               path_smooth_max=0.03)
         e, _ = pathsmooth.smoothed_corrections(
-            cfg, jnp.asarray(deltas), t, pathsmooth.initial_state())
+            cfg, jnp.asarray(deltas), t, jnp.zeros((2,)))
         e = np.asarray(e)
         assert np.abs(e).max() <= 0.03 + 1e-6
         e_ref, _ = _ref_corrections(deltas.astype(np.float64), n, 16,
@@ -126,10 +129,9 @@ class TestRecursion:
         deltas = rng.normal(0, 0.02, (t + n - 2, 2)).astype(np.float32)
         cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=24)
         e_all, _ = pathsmooth.smoothed_corrections(
-            cfg, jnp.asarray(deltas), t, pathsmooth.initial_state())
+            cfg, jnp.asarray(deltas), t, jnp.zeros((2,)))
         e1, d1 = pathsmooth.smoothed_corrections(
-            cfg, jnp.asarray(deltas[:6 + n - 2]), 6,
-            pathsmooth.initial_state())
+            cfg, jnp.asarray(deltas[:6 + n - 2]), 6, jnp.zeros((2,)))
         e2, _ = pathsmooth.smoothed_corrections(
             cfg, jnp.asarray(deltas[6:]), 6, d1)
         np.testing.assert_allclose(np.concatenate([e1, e2]),
@@ -207,8 +209,13 @@ class TestQualityGate:
         frames, still, path5, to8 = self._sway_clip()
         outs = {}
         for horizon in (0, self.HORIZON):
+            # Translation-only smoothing: the fixture and the ideal
+            # target below are pure translation, so the translation
+            # recursion is exact; the rotation path has its own gate
+            # (TestRotationSmoothing).
             cfg = StabilizeConfig(model=mcfg, chunk_frames=16,
-                                  warp_impl="lax", path_smooth=horizon)
+                                  warp_impl="lax", path_smooth=horizon,
+                                  path_smooth_rotation=False)
             outs[horizon] = Stabilizer(cfg, params).stabilize_clip(frames)
 
         rms_plain = self._tracked_path_rms(outs[0])
@@ -241,6 +248,65 @@ class TestQualityGate:
         inner = lambda a: a[:, bh:self.H - bh, bw:self.W - bw]
         p_db = psnr(inner(outs[self.HORIZON]), inner(tgt))
         assert p_db > 45.0, p_db
+
+
+class TestRotationSmoothing:
+    """Rotation sway (θ slower than the window) also passes through the
+    CNN; the half-frame differential phase-correlation estimator plus
+    the (−Y, X) linear correction field must remove most of it."""
+
+    def test_measure_motion_accuracy(self):
+        t = 16
+        path = synthetic.random_camera_path(jax.random.key(5), t,
+                                            max_trans=0.02,
+                                            max_angle=0.05,
+                                            max_persp=0.0)
+        still = synthetic.random_still(jax.random.key(2), 192, 224)
+        frames = jax.vmap(lambda p: synthetic.jitter_frame(still, p))(path)
+        u8 = jnp.clip(jnp.round(frames * 255), 0, 255).astype(jnp.uint8)
+        seq = resize_ops.downscale_norm(u8, 96, 96)
+        m = np.asarray(pathsmooth.measure_motion(seq))
+        true = np.diff(np.asarray(path[:, :3]), axis=0)
+        assert m.shape == (t - 1, 3)
+        # Unbiased to ~a few percent, noise well under the true motion
+        # (measured round-4: slope 1.02, rms err ~3e-4 rad at 128²).
+        assert np.abs(m[:, 2] - true[:, 2]).max() < 2e-3
+
+    def test_rotation_sway_shrinks(self, flagship):
+        pytest.importorskip("cv2")
+        from dvsg_tpu.utils import stab_metrics
+        params, mcfg = flagship
+        t_n, h, w = 64, 256, 320
+        t = np.arange(t_n)
+        rng = np.random.default_rng(3)
+        path5 = np.zeros((t_n, 5), np.float32)
+        path5[:, 0] = 0.04 * np.sin(2 * np.pi * t / 40) \
+            + rng.normal(0, 0.008, t_n)
+        path5[:, 1] = 0.03 * np.sin(2 * np.pi * t / 56 + 1.0) \
+            + rng.normal(0, 0.008, t_n)
+        path5[:, 2] = 0.05 * np.sin(2 * np.pi * t / 48 + 0.5) \
+            + rng.normal(0, 0.004, t_n)
+        still = synthetic.random_still(jax.random.key(11), h, w)
+        frames = jax.vmap(
+            lambda p: synthetic.jitter_frame(still, jnp.asarray(p)))(
+            jnp.asarray(path5))
+        clip = np.asarray(jnp.clip(jnp.round(frames * 255), 0,
+                                   255).astype(jnp.uint8))
+
+        def rot_rms(x):
+            cp = stab_metrics.camera_path(x)
+            cp = np.where(np.isnan(cp), 0.0, cp)
+            p = np.cumsum(cp[:, 2], axis=0)
+            return float(np.sqrt(((p - p.mean()) ** 2).mean()))
+
+        outs = {}
+        for smooth in (0, 32):
+            cfg = StabilizeConfig(model=mcfg, chunk_frames=16,
+                                  warp_impl="lax", path_smooth=smooth)
+            outs[smooth] = Stabilizer(cfg, params).stabilize_clip(clip)
+        r_plain, r_smooth = rot_rms(outs[0]), rot_rms(outs[32])
+        # Measured round-4: 0.0357 → 0.0199 rad on this fixture.
+        assert r_smooth < 0.75 * r_plain, (r_plain, r_smooth)
 
 
 class _ArrayReader:
