@@ -241,7 +241,7 @@ class BatchStabilizer:
             cfg = self._group_cfg(crop)
 
             if cfg.path_smooth > 0:
-                # Per-clip (B, 2) smoothing states ride the vmap; each
+                # Per-clip (B, 3) smoothing states ride the vmap; each
                 # whole in-memory request is one stream, so the state is
                 # threaded per _run_group call (thread_batch_state).
                 from dvsg_tpu.pipeline.stabilize import (
@@ -302,8 +302,9 @@ class BatchStabilizer:
             from dvsg_tpu.pipeline import pathsmooth
             init_states = None
             if any(r.smooth_state is not None for r in items):
+                fresh = np.asarray(pathsmooth.initial_state())
                 ss = [r.smooth_state if r.smooth_state is not None
-                      else np.zeros((2,), np.float32) for r in items]
+                      else fresh for r in items]
                 ss += [ss[0]] * (bp - b)
                 init_states = np.stack(ss)
             wrapper = pathsmooth.thread_batch_state(

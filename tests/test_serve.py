@@ -507,3 +507,38 @@ class TestSmoothedServing:
             assert small == whole      # byte-identical container
         finally:
             engine.close()
+
+    def test_mixed_carry_group_batches_correctly(self):
+        """A second-segment request (with carry) grouped with a same-
+        length FIRST-segment request (fresh state, return_carry) must
+        produce byte-exact outputs for both."""
+        import concurrent.futures
+
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        from dvsg_tpu.pipeline.stabilize import Stabilizer
+        params = motion_cnn.init_params(MCFG, jax.random.key(9))
+        clip_a = self._clip(t=16)
+        clip_b = np.asarray(__import__("jax").numpy.flip(
+            __import__("jax").numpy.asarray(self._clip(t=16)), axis=2))
+        engine = BatchStabilizer(self.SCFG, params, max_batch=2,
+                                 window_s=5.0)
+        try:
+            # A's first segment (alone), giving A a carry.
+            a1, carry_a = engine.stabilize_clip(clip_a[:8],
+                                                return_carry=True)
+            # A's second segment + B's first segment, CONCURRENT and
+            # equal-length → one carry-keyed group with mixed states.
+            with concurrent.futures.ThreadPoolExecutor(2) as ex:
+                fa = ex.submit(engine.stabilize_clip, clip_a[8:],
+                               None, carry_a)
+                fb = ex.submit(engine.stabilize_clip, clip_b[:8],
+                               None, None, True)
+                a2 = fa.result()
+                b1, _ = fb.result()
+            assert engine.stats["max_group"] >= 2
+            ref_a = Stabilizer(self.SCFG, params).stabilize_clip(clip_a)
+            ref_b = Stabilizer(self.SCFG, params).stabilize_clip(clip_b)
+            np.testing.assert_array_equal(np.concatenate([a1, a2]), ref_a)
+            np.testing.assert_array_equal(b1, ref_b[:8])
+        finally:
+            engine.close()
