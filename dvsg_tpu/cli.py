@@ -154,7 +154,8 @@ def _run_autocrop_scan(cfg, params, input_paths, video_io):
     in lockstep through one vmapped program (mirroring how batched
     pass 2 drives them) and share the max."""
     from dvsg_tpu.pipeline.autocrop import (crop_for_max_offset,
-                                            scan_readers_max_offset)
+                                            scan_readers_max_offset,
+                                            smoothing_margin)
     t0 = time.perf_counter()
     readers = [video_io.VideoReader(p_) for p_ in input_paths]
     try:
@@ -162,6 +163,9 @@ def _run_autocrop_scan(cfg, params, input_paths, video_io):
     finally:
         for r in readers:
             r.close()
+    # The smoothing stage adds up to this much beyond the predicted
+    # offsets the scan measured (same margin pick_border_crop applies).
+    m += smoothing_margin(cfg)
     crop, capped = crop_for_max_offset(m)
     extra = (f" (shared over {len(input_paths)} clips)"
              if len(input_paths) > 1 else "")

@@ -187,6 +187,19 @@ def scan_readers_max_offset(cfg: StabilizeConfig, params, readers) -> float:
     return float(m)
 
 
+def smoothing_margin(cfg: StabilizeConfig) -> float:
+    """Extra |offset| the path-smoothing stage can add beyond what the
+    predict-only scan sees: each component's correction is clamped to
+    ±path_smooth_max (pipeline/pathsmooth.py anti-windup), and the
+    rotation component contributes at most path_smooth_max at the frame
+    corners (|(-Y, X)| ≤ 1 in normalized units). EVERY auto-crop caller
+    must add this to the scanned max — the CLI scan path once bypassed
+    it (round-4 review finding) and under-cropped smoothed runs."""
+    if cfg.path_smooth <= 0:
+        return 0.0
+    return cfg.path_smooth_max * (2.0 if cfg.path_smooth_rotation else 1.0)
+
+
 def crop_for_max_offset(max_abs_offset: float) -> Tuple[float, bool]:
     """Minimal quantized border crop hiding offsets up to the given max.
 
@@ -209,18 +222,12 @@ def pick_border_crop(cfg: StabilizeConfig, params,
 
     With path smoothing on (cfg.path_smooth > 0) the applied offsets are
     the predicted ones plus a per-frame correction the predict-only scan
-    does not compute; each component of that correction is clamped to
-    ±path_smooth_max (pipeline/pathsmooth.py anti-windup) and the
-    rotation component contributes at most path_smooth_max at the frame
-    corners (|(-Y, X)| ≤ 1 in normalized units), so adding the clamp —
-    doubled when rotation smoothing is on — keeps the crop bound
+    does not compute; ``smoothing_margin`` bounds it, keeping the crop
     exact-and-conservative."""
     if isinstance(source, np.ndarray):
         m = scan_clip_max_offset(cfg, params, source)
     else:
         m = scan_stream_max_offset(cfg, params, source)
-    if cfg.path_smooth > 0:
-        m += cfg.path_smooth_max * (2.0 if cfg.path_smooth_rotation
-                                    else 1.0)
+    m += smoothing_margin(cfg)
     crop, capped = crop_for_max_offset(m)
     return crop, m, capped

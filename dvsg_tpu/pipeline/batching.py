@@ -42,7 +42,7 @@ class _Request:
     frames: np.ndarray                    # (T, H, W, C) uint8
     crop: Optional[float] = None          # per-request border_crop override
     halo_in: Optional[np.ndarray] = None  # mid-stream carry: input history
-    smooth_state: Optional[np.ndarray] = None   # (2,) incoming EMA state
+    smooth_state: Optional[np.ndarray] = None   # (3,) incoming EMA state
     return_state: bool = False
     done: threading.Event = field(default_factory=threading.Event)
     output: Optional[np.ndarray] = None
@@ -98,7 +98,7 @@ class BatchStabilizer:
         cache per distinct float.
 
         ``carry`` / ``return_carry`` (path smoothing only): a mid-stream
-        carry ``(halo (window-1, mh, mw, C) f32, smooth_state (2,) f32)``
+        carry ``(halo (window-1, mh, mw, C) f32, smooth_state (3,) f32)``
         for segment-threading callers (serve's bounded-memory long
         uploads). With ``return_carry=True`` the call returns
         ``(output, (halo, state))`` taken after this clip's LAST chunk.
@@ -127,6 +127,11 @@ class BatchStabilizer:
                     f"border_crop must be a multiple of 1/{CROP_DENOM} "
                     f"(the compile-cache quantization grid), got "
                     f"{border_crop}")
+            if border_crop == self.cfg.border_crop:
+                # An override equal to the engine default would key a
+                # separate-but-identical program and split otherwise
+                # batchable groups; normalize it away.
+                border_crop = None
         if (carry is not None or return_carry) and self.cfg.path_smooth <= 0:
             raise ValueError("carry/return_carry are the path-smoothing "
                              "segment-threading API; cfg.path_smooth is 0")
@@ -139,9 +144,16 @@ class BatchStabilizer:
                 f"{frames_u8.shape[0]} frames")
         halo_in = smooth_state = None
         if carry is not None:
+            from dvsg_tpu.pipeline import pathsmooth
             halo_in, smooth_state = carry
             halo_in = np.asarray(halo_in, np.float32)
             smooth_state = np.asarray(smooth_state, np.float32)
+            want = np.asarray(pathsmooth.initial_state()).shape[0]
+            if smooth_state.shape != (want,):
+                raise ValueError(
+                    f"carry smooth_state must be a ({want},) f32 vector "
+                    f"(x, y, θ), got shape {smooth_state.shape}; pass "
+                    "back exactly what return_carry returned")
         req = _Request(frames_u8, crop=border_crop, halo_in=halo_in,
                        smooth_state=smooth_state,
                        return_state=return_carry)
@@ -323,10 +335,13 @@ class BatchStabilizer:
         self.stats["batches"] += 1
         self.stats["coverage_fallback_chunks"] += sum(cov)
         if crop is not None:
-            seen = self.stats.setdefault("crops_seen", [])
+            seen = self.stats.get("crops_seen", [])
             if crop not in seen:
-                seen.append(crop)
-                seen.sort()
+                # Replace, never mutate: /healthz handler threads
+                # serialize this list concurrently (dict(stats) is a
+                # shallow copy), so an in-place append+sort could tear
+                # their snapshot.
+                self.stats["crops_seen"] = sorted(seen + [crop])
         for i, r in enumerate(items):
             # copy: a slice of `full` is a VIEW that would pin the whole
             # (b, max_len, H, W, C) batch for as long as any caller holds

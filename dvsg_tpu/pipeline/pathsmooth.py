@@ -23,8 +23,8 @@ indistinguishable from intended motion), so this stage MEASURES it:
      which, since offset fields compose additively for small warps,
      moves the output from the window-mean pose to the EMA-smoothed pose.
 
-Cross-chunk state is a single f32 2-vector D = P − S (the EMA's
-deviation from the accumulated path; only DIFFERENCES of P are ever
+Cross-chunk state is a single f32 (x, y, θ) 3-vector D = P − S (the
+EMA's deviation from the accumulated path; only DIFFERENCES of P are ever
 used, so the unbounded absolute path never materializes and arbitrarily
 long streams cannot lose float precision). The window-mean term needs
 only the last window−1 deltas, all of which are recomputable from the
@@ -62,7 +62,7 @@ def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
     has no state slot in its baked I/O signature (AOT artifacts), or
     re-enters per frame without a stream handle (online) must refuse —
     silently dropping the flag would ship unsmoothed output under a
-    smoothing config. Clip-batched surfaces DO carry it (per-clip (B, 2)
+    smoothing config. Clip-batched surfaces DO carry it (per-clip (B, 3)
     states ride the vmap; see thread_batch_state).
     """
     if cfg.path_smooth > 0:
@@ -76,7 +76,7 @@ def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
 def thread_batch_state(fn4, n_clips: int, sharding=None,
                        init_states=None):
     """Adapt a 4-arg batched smooth chunk fn to the 3-arg drive-loop
-    contract by threading the per-clip (B, 2) states through a closure.
+    contract by threading the per-clip (B, 3) states through a closure.
 
     The drive loops (pipeline.stabilize.drive_chunked_batch, the
     multiclip main loop) call ``fn(params, frames, halos)`` strictly in
@@ -275,7 +275,7 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
 
     with α = 2/(L+1) for horizon L = cfg.path_smooth. The recursion runs
     as a lax.scan over the chunk's frames; per-step state is one
-    2-vector, so the whole stage is invisible next to the CNN forward.
+    3-vector, so the whole stage is invisible next to the CNN forward.
     """
     n = cfg.model.window
     alpha = jnp.float32(2.0 / (cfg.path_smooth + 1.0))

@@ -150,7 +150,7 @@ def stabilize_chunk_smooth_impl(cfg: StabilizeConfig, params,
                                 smooth_state: jax.Array):
     """Path-smoothed device step (cfg.path_smooth > 0).
 
-    Same contract as ``stabilize_chunk_impl`` plus a carried (2,) f32
+    Same contract as ``stabilize_chunk_impl`` plus a carried (3,) f32
     smoothing state (pipeline/pathsmooth.py). Returns
     (stabilized_u8, new_halo, new_smooth_state, offsets) — the offsets
     are the APPLIED (smoothed) ones, so the host-side coverage mirror
@@ -289,8 +289,11 @@ def initial_halo(cfg: StabilizeConfig, first_frame_u8: np.ndarray) -> jax.Array:
     pins it). Cross-chunk state beyond input history exists exactly once
     — the path-smoothing EMA (cfg.path_smooth > 0) — and it is carried
     SEPARATELY, never in the halo; the two surfaces that depend on the
-    halo-only invariant handle it explicitly (serve rejects path_smooth
-    at startup, the resume record stores the state alongside the halo).
+    halo-only invariant handle it explicitly: the resume record stores
+    the state alongside the halo, and serve's segmented long-upload
+    path switches from the stateless prefix-replay (which would
+    double-consume the prefix frames' motion deltas) to the batch
+    engine's explicit carry API when smoothing is on.
     """
     mcfg = cfg.model
     mh, mw = mcfg.model_size

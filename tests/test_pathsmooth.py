@@ -473,9 +473,26 @@ class TestUnsupportedSurfaces:
         crop_plain, _, _ = pick_border_crop(
             CFG.replace(path_smooth=0), params, frames)
         crop_smooth, _, _ = pick_border_crop(CFG, params, frames)
-        # The smoothing correction is bounded by path_smooth_max; the
-        # picked crop must reserve at least that margin on top.
-        assert crop_smooth >= crop_plain + CFG.path_smooth_max / 2 - 1 / 64
+        # The smoothing correction is bounded by path_smooth_max per
+        # component (x2 at the corners with rotation on); the picked
+        # crop must reserve at least that margin on top.
+        assert crop_smooth >= crop_plain + CFG.path_smooth_max - 1 / 64
+
+    def test_cli_autocrop_scan_covers_smoothing_clamp(self, params,
+                                                      tmp_path):
+        """The CLI scan path (_run_autocrop_scan) must reserve the same
+        margin as pick_border_crop — a round-4 review found it bypassed
+        the margin entirely, under-cropping exactly the smoothed runs."""
+        from dvsg_tpu import cli
+        from dvsg_tpu.utils import video_io
+        frames = np.full((4, 40, 48, 3), 128, np.uint8)
+        p = str(tmp_path / "still")
+        with video_io.VideoWriter(p, 48, 40, 30) as w:
+            w.write_batch(frames)
+        crop_plain = cli._run_autocrop_scan(
+            CFG.replace(path_smooth=0), params, [p], video_io)
+        crop_smooth = cli._run_autocrop_scan(CFG, params, [p], video_io)
+        assert crop_smooth >= crop_plain + CFG.path_smooth_max - 1 / 64
 
 
 class TestConfigValidation:
