@@ -28,6 +28,11 @@ def main():
     p.add_argument("--size", type=int, nargs=2, default=(480, 640))
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--platform", default=None)
+    p.add_argument("--sway", action="store_true",
+                   help="ALSO produce a sway demo: a low-frequency "
+                        "drift fixture stabilized plain vs "
+                        "--path-smooth 32, three panels side by side "
+                        "(sway_side_by_side.mp4 + tracked path RMS)")
     args = p.parse_args()
 
     import cv2
@@ -88,6 +93,47 @@ def main():
     print(f"mean per-frame PSNR gain: {np.mean(gains):+.2f} dB "
           f"(min {np.min(gains):+.2f}, max {np.max(gains):+.2f})")
     print(f"wrote {args.out_dir}/side_by_side.mp4 and filmstrip.png")
+
+    if args.sway:
+        # Sway demo: slow sinusoidal drift + jitter — the plain model
+        # removes the jitter but the sway passes through; path
+        # smoothing removes both (pipeline/pathsmooth.py).
+        from dvsg_tpu.utils import stab_metrics
+        t_n = max(args.frames, 64)
+        tt = np.arange(t_n)
+        rng = np.random.default_rng(args.seed)
+        path5 = np.zeros((t_n, 5), np.float32)
+        path5[:, 0] = 0.05 * np.sin(2 * np.pi * tt / 40) \
+            + rng.normal(0, 0.008, t_n)
+        path5[:, 1] = 0.04 * np.sin(2 * np.pi * tt / 56 + 1.0) \
+            + rng.normal(0, 0.008, t_n)
+        path5[:, 2] = 0.04 * np.sin(2 * np.pi * tt / 48 + 0.5) \
+            + rng.normal(0, 0.004, t_n)
+        still = synthetic.random_still(jax.random.key(args.seed + 1),
+                                       h, w)
+        sway = np.asarray(jnp.clip(jnp.round(jax.vmap(
+            lambda q: synthetic.jitter_frame(still, jnp.asarray(q)))(
+            jnp.asarray(path5)) * 255), 0, 255).astype(jnp.uint8))
+        plain = stab.stabilize_clip(sway)
+        smooth = Stabilizer(stab.cfg.replace(path_smooth=32),
+                            params).stabilize_clip(sway)
+
+        def path_rms(x):
+            cp = stab_metrics.camera_path(x)
+            cp = np.where(np.isnan(cp), 0.0, cp)
+            pp = np.cumsum(cp[:, :2], axis=0)
+            return float(np.sqrt(((pp - pp.mean(0)) ** 2).mean()))
+
+        trio = np.concatenate([sway, plain, smooth], axis=2)
+        with video_io.VideoWriter(
+                os.path.join(args.out_dir, "sway_side_by_side.mp4"),
+                3 * w, h, fps=30) as wr:
+            wr.write_batch(trio)
+        r_in, r_p, r_s = (path_rms(sway), path_rms(plain),
+                          path_rms(smooth))
+        print(f"sway demo (input | plain | --path-smooth 32): tracked "
+              f"path RMS {r_in:.2f} | {r_p:.2f} | {r_s:.2f} px — "
+              f"wrote {args.out_dir}/sway_side_by_side.mp4")
     return 0
 
 
