@@ -651,6 +651,13 @@ def eval_main(argv=None) -> int:
                         "trio (stability score, cropping ratio, "
                         "distortion value) — no ground truth needed, "
                         "host-side cv2 work")
+    p.add_argument("--path-smooth", type=int, default=0, metavar="FRAMES",
+                   help="evaluate WITH cross-chunk camera-path smoothing "
+                        "(see dvsg-stabilize --path-smooth); note "
+                        "psnr_vs_target scores against the WINDOW-MEAN "
+                        "target, which a smoothed output intentionally "
+                        "deviates from — read the steadiness/tracking "
+                        "metrics for this mode")
     p.add_argument("--stills", default=None, metavar="CLIP",
                    help="evaluate on YOUR imagery: a video/frame dir whose "
                         "frames become the base images (resized to --size, "
@@ -683,7 +690,8 @@ def eval_main(argv=None) -> int:
     h, w = args.size
     chunk = args.chunk_frames or _auto_chunk(h, w)
     cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
-                          warp_impl=args.warp_impl)
+                          warp_impl=args.warp_impl,
+                          path_smooth=args.path_smooth)
     stab = Stabilizer(cfg, params)
     stills = None
     if args.stills:
