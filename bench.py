@@ -489,7 +489,7 @@ def main():
             cfg_ps = cfg.replace(path_smooth=32)
             return _bench_chunked(cfg_ps, params, frames, n_iters=60,
                                   warm_reps=2)
-        fps_smooth = budget_metric("720p path-smoothed", 20, _smoothed)
+        fps_smooth = budget_metric("720p path-smoothed", 35, _smoothed)
         if fps_smooth is not None:
             log(f"720p with path_smooth=32: {fps_smooth:.2f} frames/s/chip "
                 f"({(1.0 - fps_smooth / fps) * 100.0:.1f}% cost)")
