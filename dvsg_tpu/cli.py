@@ -667,6 +667,9 @@ def eval_main(argv=None) -> int:
     _add_model_args(p)
     args = p.parse_args(argv)
     _resolve_preset(args)
+    if args.path_smooth < 0:
+        print("ERROR: --path-smooth must be >= 0", file=sys.stderr)
+        return 2
 
     import jax
     if args.platform:

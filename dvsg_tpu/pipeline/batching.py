@@ -121,17 +121,19 @@ class BatchStabilizer:
             if not 0.0 <= border_crop < 0.5:
                 raise ValueError(f"border_crop must be in [0, 0.5), "
                                  f"got {border_crop}")
-            steps = border_crop * CROP_DENOM
-            if abs(steps - round(steps)) > 1e-9:
-                raise ValueError(
-                    f"border_crop must be a multiple of 1/{CROP_DENOM} "
-                    f"(the compile-cache quantization grid), got "
-                    f"{border_crop}")
             if border_crop == self.cfg.border_crop:
-                # An override equal to the engine default would key a
-                # separate-but-identical program and split otherwise
-                # batchable groups; normalize it away.
+                # An override equal to the engine default names the
+                # program the engine runs anyway — normalize it away
+                # (BEFORE the grid check: an off-grid engine default is
+                # legal, and echoing it back must stay legal too).
                 border_crop = None
+            else:
+                steps = border_crop * CROP_DENOM
+                if abs(steps - round(steps)) > 1e-9:
+                    raise ValueError(
+                        f"border_crop must be a multiple of "
+                        f"1/{CROP_DENOM} (the compile-cache quantization "
+                        f"grid), got {border_crop}")
         if (carry is not None or return_carry) and self.cfg.path_smooth <= 0:
             raise ValueError("carry/return_carry are the path-smoothing "
                              "segment-threading API; cfg.path_smooth is 0")
@@ -148,7 +150,7 @@ class BatchStabilizer:
             halo_in, smooth_state = carry
             halo_in = np.asarray(halo_in, np.float32)
             smooth_state = np.asarray(smooth_state, np.float32)
-            want = np.asarray(pathsmooth.initial_state()).shape[0]
+            want = pathsmooth.STATE_DIM
             if smooth_state.shape != (want,):
                 raise ValueError(
                     f"carry smooth_state must be a ({want},) f32 vector "

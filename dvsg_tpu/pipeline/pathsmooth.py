@@ -106,10 +106,13 @@ def thread_batch_state(fn4, n_clips: int, sharding=None,
     return fn
 
 
+STATE_DIM = 3      # carried EMA state components: (x, y, θ)
+
+
 def initial_state() -> jax.Array:
     """Fresh smoothing state for the start of a stream: D = P − S = 0
     (the EMA starts exactly on the path). Components (x, y, θ)."""
-    return jnp.zeros((3,), jnp.float32)
+    return jnp.zeros((STATE_DIM,), jnp.float32)
 
 
 def _hann(n: int) -> jax.Array:

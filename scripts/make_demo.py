@@ -119,20 +119,26 @@ def main():
                             params).stabilize_clip(sway)
 
         def path_rms(x):
+            # Drop untracked steps rather than zero-filling them — zero
+            # reads as "no motion", the maximally optimistic value
+            # (stab_metrics.camera_path docstring); report the count so
+            # a heavily-untracked panel is visibly less trustworthy.
             cp = stab_metrics.camera_path(x)
-            cp = np.where(np.isnan(cp), 0.0, cp)
-            pp = np.cumsum(cp[:, :2], axis=0)
-            return float(np.sqrt(((pp - pp.mean(0)) ** 2).mean()))
+            ok = ~np.isnan(cp[:, 0])
+            pp = np.cumsum(cp[ok][:, :2], axis=0)
+            rms = float(np.sqrt(((pp - pp.mean(0)) ** 2).mean()))
+            return rms, int((~ok).sum())
 
         trio = np.concatenate([sway, plain, smooth], axis=2)
         with video_io.VideoWriter(
                 os.path.join(args.out_dir, "sway_side_by_side.mp4"),
                 3 * w, h, fps=30) as wr:
             wr.write_batch(trio)
-        r_in, r_p, r_s = (path_rms(sway), path_rms(plain),
-                          path_rms(smooth))
+        (r_in, f_in), (r_p, f_p), (r_s, f_s) = (
+            path_rms(sway), path_rms(plain), path_rms(smooth))
         print(f"sway demo (input | plain | --path-smooth 32): tracked "
-              f"path RMS {r_in:.2f} | {r_p:.2f} | {r_s:.2f} px — "
+              f"path RMS {r_in:.2f} | {r_p:.2f} | {r_s:.2f} px "
+              f"(untracked steps {f_in}/{f_p}/{f_s}) — "
               f"wrote {args.out_dir}/sway_side_by_side.mp4")
     return 0
 
