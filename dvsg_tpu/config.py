@@ -62,7 +62,11 @@ class StabilizeConfig:
                                   # 0 = passthrough, 1 = full, (0,1) = partial
                                   # (keeps more of the original framing),
                                   # (1, 2] = overcorrection (exaggerates the
-                                  # predicted camera-path smoothing)
+                                  # predicted camera-path smoothing).
+                                  # Scales the CNN's window-relative
+                                  # correction ONLY; the path_smooth sway
+                                  # correction is always applied in full
+                                  # (pathsmooth.apply_path_smoothing doc)
     path_smooth: int = 0          # cross-chunk camera-path smoothing horizon
                                   # in frames (EMA one-pole low-pass over the
                                   # MEASURED camera translation path); 0 = off.

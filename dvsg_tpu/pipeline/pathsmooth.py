@@ -321,6 +321,18 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
     (ops/grid.py:upsample_offsets), so this is exactly a small rigid
     rotation of the grid. With ``cfg.path_smooth_rotation`` False, only
     translation is measured and corrected.
+
+    Interaction with ``cfg.strength`` (documented contract, round-4
+    advisor): the strength scale applies to the CNN's WINDOW-RELATIVE
+    correction only — with 0 < strength < 1 the pre-smoothing output
+    pose is (1−s)·P + s·Ā — while the sway correction e = S − Ā is
+    always applied in full, so the smoothed output pose is
+    (1−s)·(P − Ā) + S: a strength-scaled share of the high-frequency
+    jitter rides on top of the FULLY smoothed low-frequency path. This
+    is deliberate: e is measured against the clamp/anti-windup state
+    algebra and the auto-crop margin (both assume |e| ≤ path_smooth_max
+    exactly), and partial stabilization means "keep some handheld feel",
+    not "keep some of the drift the user asked this stage to remove".
     """
     from dvsg_tpu.ops import grid as grid_ops
 

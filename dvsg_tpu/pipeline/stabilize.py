@@ -446,6 +446,15 @@ class Stabilizer:
                             "resume record was written without path "
                             "smoothing but cfg.path_smooth > 0; restart "
                             "the job (or point --resume-dir elsewhere)")
+                    if self.cfg.path_smooth == 0 and smooth_np is not None:
+                        # Mirror check: dropping a record's smoothing
+                        # state would switch the output from smoothed to
+                        # unsmoothed mid-stream without a word.
+                        raise ValueError(
+                            "resume record carries a path-smoothing "
+                            "state but cfg.path_smooth == 0; resume with "
+                            "the original --path-smooth setting (or "
+                            "restart the job elsewhere)")
                     skipped = reader.skip(written)
                     if skipped != written:
                         raise ValueError(

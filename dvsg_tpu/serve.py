@@ -206,8 +206,12 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                 with video_io.VideoWriter(dst, w, h, fps) as writer:
                     while True:
                         if buf.shape[0] < seg_al and not eof:
-                            nxt = _read_sanitized(reader, seg_al)
-                            eof = nxt.shape[0] < seg_al
+                            # Top up only to one segment: reading a full
+                            # seg_al here would peak at ~2x segment_bytes
+                            # of buffered raw frames (round-4 advisor).
+                            need = seg_al - buf.shape[0]
+                            nxt = _read_sanitized(reader, need)
+                            eof = nxt.shape[0] < need
                             if nxt.shape[0]:
                                 buf = np.concatenate([buf, nxt], axis=0)
                             continue

@@ -387,6 +387,27 @@ class TestStreamSurfaces:
         with pytest.raises(ValueError, match="without path smoothing"):
             run(CFG, frames)
 
+    def test_resume_record_with_state_rejected_when_off(self, params,
+                                                        tmp_path):
+        """Mirror of the check above (round-4 advisor): a record saved
+        WITH smoothing must not silently resume into an unsmoothed run —
+        the output would switch mid-stream."""
+        frames_u8, _, _ = synthetic.synthetic_clip_u8(jax.random.key(9),
+                                                      8, 40, 48)
+        frames = np.asarray(frames_u8)
+        rdir = str(tmp_path / "r")
+
+        def run(cfg, inp):
+            w = _ListWriter()
+            w.seek = lambda k: None
+            r = _ArrayReader(inp, 4)
+            r.skip = lambda k: (setattr(r, "i", k), k)[1]
+            Stabilizer(cfg, params).stabilize_stream(r, w, resume_dir=rdir)
+
+        run(CFG, frames[:4])                          # record WITH state
+        with pytest.raises(ValueError, match="carries a path-smoothing"):
+            run(CFG.replace(path_smooth=0), frames)
+
 
 class TestBatchSurfaces:
     """Per-clip (B, 2) EMA states ride the vmapped/sharded batch
