@@ -247,8 +247,12 @@ def stabilize_main(argv=None) -> int:
                         "rotation radians; bounds the border revealed; "
                         "default 0.05)")
     p.add_argument("--path-smooth-no-rotation", action="store_true",
-                   help="smooth camera translation only (rotation sway "
-                        "is also measured and smoothed by default)")
+                   help="do not measure/smooth rotation sway (on by "
+                        "default)")
+    p.add_argument("--path-smooth-no-scale", action="store_true",
+                   help="do not measure/smooth zoom/scale sway (on by "
+                        "default; rides the same half-frame measurement "
+                        "as rotation)")
     p.add_argument("--resume-dir", default=None,
                    help="flush resume state here each chunk; restart "
                         "resumes at the last flushed chunk (frame-dir "
@@ -365,7 +369,8 @@ def stabilize_main(argv=None) -> int:
                 model=mcfg, chunk_frames=chunk, warp_impl=warp_impl,
                 strength=strength, path_smooth=args.path_smooth,
                 path_smooth_max=args.path_smooth_max,
-                path_smooth_rotation=not args.path_smooth_no_rotation)
+                path_smooth_rotation=not args.path_smooth_no_rotation,
+                path_smooth_scale=not args.path_smooth_no_scale)
             border_crop = _run_autocrop_scan(scan_cfg, params,
                                              [args.input], video_io)
         cfg = StabilizeConfig(
@@ -373,7 +378,8 @@ def stabilize_main(argv=None) -> int:
             border_crop=border_crop, strength=strength,
             path_smooth=args.path_smooth,
             path_smooth_max=args.path_smooth_max,
-            path_smooth_rotation=not args.path_smooth_no_rotation)
+            path_smooth_rotation=not args.path_smooth_no_rotation,
+            path_smooth_scale=not args.path_smooth_no_scale)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)

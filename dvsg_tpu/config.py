@@ -83,6 +83,10 @@ class StabilizeConfig:
                                        # (half-frame differential phase
                                        # correlation); translation-only when
                                        # False
+    path_smooth_scale: bool = True     # also measure + smooth zoom/scale
+                                       # sway (the DIVERGENCE of the same
+                                       # four half-frame shifts whose curl
+                                       # gives rotation); log-scale units
 
     def __post_init__(self):
         if not 0.0 <= self.strength <= 2.0:

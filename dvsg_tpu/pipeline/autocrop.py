@@ -191,13 +191,17 @@ def smoothing_margin(cfg: StabilizeConfig) -> float:
     """Extra |offset| the path-smoothing stage can add beyond what the
     predict-only scan sees: each component's correction is clamped to
     ±path_smooth_max (pipeline/pathsmooth.py anti-windup), and the
-    rotation component contributes at most path_smooth_max at the frame
-    corners (|(-Y, X)| ≤ 1 in normalized units). EVERY auto-crop caller
-    must add this to the scanned max — the CLI scan path once bypassed
-    it (round-4 review finding) and under-cropped smoothed runs."""
+    rotation and scale components each contribute at most
+    path_smooth_max per axis at the frame corners (|(-Y, X)| ≤ 1 and
+    |(X, Y)| ≤ 1 per component in normalized units). EVERY auto-crop
+    caller must add this to the scanned max — the CLI scan path once
+    bypassed it (round-4 review finding) and under-cropped smoothed
+    runs."""
     if cfg.path_smooth <= 0:
         return 0.0
-    return cfg.path_smooth_max * (2.0 if cfg.path_smooth_rotation else 1.0)
+    terms = (1.0 + (1.0 if cfg.path_smooth_rotation else 0.0)
+             + (1.0 if cfg.path_smooth_scale else 0.0))
+    return cfg.path_smooth_max * terms
 
 
 def crop_for_max_offset(max_abs_offset: float) -> Tuple[float, bool]:

@@ -42,7 +42,7 @@ class _Request:
     frames: np.ndarray                    # (T, H, W, C) uint8
     crop: Optional[float] = None          # per-request border_crop override
     halo_in: Optional[np.ndarray] = None  # mid-stream carry: input history
-    smooth_state: Optional[np.ndarray] = None   # (3,) incoming EMA state
+    smooth_state: Optional[np.ndarray] = None   # (4,) incoming EMA state
     return_state: bool = False
     done: threading.Event = field(default_factory=threading.Event)
     output: Optional[np.ndarray] = None
@@ -98,7 +98,7 @@ class BatchStabilizer:
         cache per distinct float.
 
         ``carry`` / ``return_carry`` (path smoothing only): a mid-stream
-        carry ``(halo (window-1, mh, mw, C) f32, smooth_state (3,) f32)``
+        carry ``(halo (window-1, mh, mw, C) f32, smooth_state (4,) f32)``
         for segment-threading callers (serve's bounded-memory long
         uploads). With ``return_carry=True`` the call returns
         ``(output, (halo, state))`` taken after this clip's LAST chunk.
@@ -154,8 +154,8 @@ class BatchStabilizer:
             if smooth_state.shape != (want,):
                 raise ValueError(
                     f"carry smooth_state must be a ({want},) f32 vector "
-                    f"(x, y, θ), got shape {smooth_state.shape}; pass "
-                    "back exactly what return_carry returned")
+                    f"(x, y, θ, log-s), got shape {smooth_state.shape}; "
+                    "pass back exactly what return_carry returned")
         req = _Request(frames_u8, crop=border_crop, halo_in=halo_in,
                        smooth_state=smooth_state,
                        return_state=return_carry)

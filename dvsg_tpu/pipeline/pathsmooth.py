@@ -23,7 +23,7 @@ indistinguishable from intended motion), so this stage MEASURES it:
      which, since offset fields compose additively for small warps,
      moves the output from the window-mean pose to the EMA-smoothed pose.
 
-Cross-chunk state is a single f32 (x, y, θ) 3-vector D = P − S (the
+Cross-chunk state is a single f32 (x, y, θ, log-s) 4-vector D = P − S (the
 EMA's deviation from the accumulated path; only DIFFERENCES of P are ever
 used, so the unbounded absolute path never materializes and arbitrarily
 long streams cannot lose float precision). The window-mean term needs
@@ -62,8 +62,8 @@ def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
     has no state slot in its baked I/O signature (AOT artifacts), or
     re-enters per frame without a stream handle (online) must refuse —
     silently dropping the flag would ship unsmoothed output under a
-    smoothing config. Clip-batched surfaces DO carry it (per-clip (B, 3)
-    states ride the vmap; see thread_batch_state).
+    smoothing config. Clip-batched surfaces DO carry it (per-clip
+    (B, STATE_DIM) states ride the vmap; see thread_batch_state).
     """
     if cfg.path_smooth > 0:
         raise ValueError(
@@ -76,7 +76,8 @@ def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
 def thread_batch_state(fn4, n_clips: int, sharding=None,
                        init_states=None):
     """Adapt a 4-arg batched smooth chunk fn to the 3-arg drive-loop
-    contract by threading the per-clip (B, 3) states through a closure.
+    contract by threading the per-clip (B, STATE_DIM) states through a
+    closure.
 
     The drive loops (pipeline.stabilize.drive_chunked_batch, the
     multiclip main loop) call ``fn(params, frames, halos)`` strictly in
@@ -106,12 +107,12 @@ def thread_batch_state(fn4, n_clips: int, sharding=None,
     return fn
 
 
-STATE_DIM = 3      # carried EMA state components: (x, y, θ)
+STATE_DIM = 4      # carried EMA state components: (x, y, θ, log-scale)
 
 
 def initial_state() -> jax.Array:
     """Fresh smoothing state for the start of a stream: D = P − S = 0
-    (the EMA starts exactly on the path). Components (x, y, θ)."""
+    (the EMA starts exactly on the path). Components (x, y, θ, log-s)."""
     return jnp.zeros((STATE_DIM,), jnp.float32)
 
 
@@ -218,19 +219,23 @@ def measure_shifts(seq: jax.Array) -> jax.Array:
 
 
 def measure_motion(seq: jax.Array) -> jax.Array:
-    """Per-step camera (Δx, Δy, Δθ) from consecutive frame pairs.
+    """Per-step camera (Δx, Δy, Δθ, Δlog-s) from consecutive frame pairs.
 
-    Translation from full-frame phase correlation; rotation from the
-    DIFFERENTIAL translation of half-frame patches — a rotation δθ about
-    the center moves the left/right half centers by ∓δθ/2 vertically and
-    the top/bottom half centers by ±δθ/2 horizontally (poses act on
-    normalized coords, matching train/synthetic.jitter_theta), so
+    Translation from full-frame phase correlation; rotation and scale
+    from the DIFFERENTIAL translation of half-frame patches. A rotation
+    δθ about the center moves the left/right half centers by ∓δθ/2
+    vertically and the top/bottom half centers by ±δθ/2 horizontally
+    (the CURL of the four shifts); a zoom δs (log-scale) moves the
+    left/right centers by ∓δs/2 horizontally and the top/bottom centers
+    by ∓δs/2 vertically (their DIVERGENCE) — poses act on normalized
+    coords, matching train/synthetic.jitter_theta:
 
         δθ ≈ ((dyR − dyL)/Δx_lr + (dxT − dxB)/Δy_tb) / 2
+        δs ≈ ((dxR − dxL)/Δx_lr + (dyB − dyT)/Δy_tb) / 2
 
-    with the two independent estimates averaged (√2 noise reduction).
-    Four extra half-size FFTs per pair — still invisible next to the
-    CNN forward.
+    with the two independent estimates of each averaged (√2 noise
+    reduction). Scale rides the SAME four half-size FFTs rotation
+    already needs — measuring it is free.
     """
     _, mh, mw, _ = seq.shape
     luma = seq.astype(jnp.float32).mean(axis=-1)
@@ -248,7 +253,11 @@ def measure_motion(seq: jax.Array) -> jax.Array:
     dy_lr = (d_r[:, 1] - d_l[:, 1]) * (2.0 / max(mh - 1, 1))
     dx_tb = (d_t[:, 0] - d_b[:, 0]) * (2.0 / max(mw - 1, 1))
     dtheta = 0.5 * (dy_lr / sep_x + dx_tb / sep_y)
-    return jnp.concatenate([txy, dtheta[:, None]], axis=-1)
+    dx_lr = (d_r[:, 0] - d_l[:, 0]) * (2.0 / max(mw - 1, 1))
+    dy_tb = (d_b[:, 1] - d_t[:, 1]) * (2.0 / max(mh - 1, 1))
+    dscale = 0.5 * (dx_lr / sep_x + dy_tb / sep_y)
+    return jnp.concatenate([txy, dtheta[:, None], dscale[:, None]],
+                           axis=-1)
 
 
 def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
@@ -260,7 +269,7 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
       cfg: pipeline config (path_smooth > 0).
       deltas: (T + window − 2, C) inter-frame deltas over the chunk's
         model-res sequence (halo + current frames), from measure_motion
-        (C=3: x, y, θ) — the recursion is component-generic.
+        (C=4: x, y, θ, log-s) — the recursion is component-generic.
       t: output frames in the chunk (static).
       state: (C,) f32 carried D = P − S from the previous chunk.
 
@@ -277,8 +286,8 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
       D_g      := (P_g − Ā_g) − e_g                       (anti-windup)
 
     with α = 2/(L+1) for horizon L = cfg.path_smooth. The recursion runs
-    as a lax.scan over the chunk's frames; per-step state is one
-    3-vector, so the whole stage is invisible next to the CNN forward.
+    as a lax.scan over the chunk's frames; per-step state is one small
+    (C,) vector, so the whole stage is invisible next to the CNN forward.
     """
     n = cfg.model.window
     alpha = jnp.float32(2.0 / (cfg.path_smooth + 1.0))
@@ -289,12 +298,12 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
     # weighted sum of deltas[i .. i+N−2] with weights (1..N−1)/N.
     w = (jnp.arange(1, n, dtype=jnp.float32) / n)[:, None]      # (N−1, 1)
     i_idx = jnp.arange(t)[:, None] + jnp.arange(n - 1)[None, :]  # (T, N−1)
-    rel = jnp.einsum("tnc,nz->tc", deltas[i_idx], w)             # (T, 2)
+    rel = jnp.einsum("tnc,nz->tc", deltas[i_idx], w)             # (T, C)
 
     # δ_g for output frame i is deltas[i + N − 2] (halo→first-frame
     # transition for i = 0, so chunk boundaries consume each global
     # delta exactly once).
-    step_deltas = deltas[jnp.arange(t) + (n - 2)]                # (T, 2)
+    step_deltas = deltas[jnp.arange(t) + (n - 2)]                # (T, C)
 
     def body(d, inputs):
         rel_i, delta_i = inputs
@@ -319,8 +328,11 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
     e_θ·(−Y, X) at the control points' normalized positions; linear
     fields are exactly representable by the bilinear upsample
     (ops/grid.py:upsample_offsets), so this is exactly a small rigid
-    rotation of the grid. With ``cfg.path_smooth_rotation`` False, only
-    translation is measured and corrected.
+    rotation of the grid; the scale correction likewise adds the linear
+    field e_s·(X, Y) — a small centered zoom. With
+    ``cfg.path_smooth_rotation`` / ``cfg.path_smooth_scale`` False the
+    corresponding component is neither measured nor corrected
+    (translation-only when both are off).
 
     Interaction with ``cfg.strength`` (documented contract, round-4
     advisor): the strength scale applies to the CNN's WINDOW-RELATIVE
@@ -337,18 +349,30 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
     from dvsg_tpu.ops import grid as grid_ops
 
     t, gh, gw, _ = offsets.shape
-    if cfg.path_smooth_rotation:
-        deltas = measure_motion(seq)
+    want_rot = cfg.path_smooth_rotation
+    want_scale = cfg.path_smooth_scale
+    if want_rot or want_scale:
+        # One measurement pass serves both: rotation is the curl of the
+        # four half-frame shifts, scale their divergence. A disabled
+        # component's deltas are zeroed so its EMA state stays inert.
+        deltas = measure_motion(seq)                   # (K-1, 4)
+        mask = jnp.array([1.0, 1.0, float(want_rot), float(want_scale)],
+                         jnp.float32)
+        deltas = deltas * mask
     else:
-        deltas = measure_shifts(seq)
+        d2 = measure_shifts(seq)
         deltas = jnp.concatenate(
-            [deltas, jnp.zeros((deltas.shape[0], 1), deltas.dtype)],
-            axis=-1)
+            [d2, jnp.zeros((d2.shape[0], 2), d2.dtype)], axis=-1)
     e, new_state = smoothed_corrections(cfg, deltas, t, state)
     out = offsets + e[:, None, None, :2].astype(offsets.dtype)
-    if cfg.path_smooth_rotation:
-        g = grid_ops.identity_grid(gh, gw)          # (gh, gw, 2) (x, y)
+    g = grid_ops.identity_grid(gh, gw)              # (gh, gw, 2) (x, y)
+    if want_rot:
         rot = jnp.stack([-g[..., 1], g[..., 0]], axis=-1)
         out = out + (e[:, 2][:, None, None, None]
                      * rot[None]).astype(offsets.dtype)
+    if want_scale:
+        # e_s·(X, Y): the log-scale correction is a linear field, exact
+        # under the bilinear upsample like the rotation field.
+        out = out + (e[:, 3][:, None, None, None]
+                     * g[None]).astype(offsets.dtype)
     return out, new_state

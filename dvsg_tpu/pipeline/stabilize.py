@@ -150,7 +150,7 @@ def stabilize_chunk_smooth_impl(cfg: StabilizeConfig, params,
                                 smooth_state: jax.Array):
     """Path-smoothed device step (cfg.path_smooth > 0).
 
-    Same contract as ``stabilize_chunk_impl`` plus a carried (3,) f32
+    Same contract as ``stabilize_chunk_impl`` plus a carried (4,) f32
     smoothing state (pipeline/pathsmooth.py). Returns
     (stabilized_u8, new_halo, new_smooth_state, offsets) — the offsets
     are the APPLIED (smoothed) ones, so the host-side coverage mirror
@@ -334,8 +334,12 @@ class Stabilizer:
             from dvsg_tpu.pipeline import pathsmooth
             if smooth_state is not None:
                 s = jnp.asarray(smooth_state, jnp.float32)
-                if s.shape[0] < 3:      # pre-rotation (2,) resume record
-                    s = jnp.concatenate([s, jnp.zeros((3 - s.shape[0],),
+                if s.shape[0] < pathsmooth.STATE_DIM:
+                    # Resume record from before rotation (2,) or scale
+                    # (3,) landed: missing components start at zero,
+                    # exactly a fresh EMA for those axes.
+                    pad = pathsmooth.STATE_DIM - s.shape[0]
+                    s = jnp.concatenate([s, jnp.zeros((pad,),
                                                       jnp.float32)])
                 self._smooth_state = s
             else:

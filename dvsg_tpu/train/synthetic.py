@@ -78,6 +78,19 @@ def jitter_theta(params: jax.Array) -> jax.Array:
     return jnp.array([[ca, -sa, tx], [sa, ca, ty], [px, py, one]])
 
 
+def similarity_theta(params: jax.Array) -> jax.Array:
+    """(tx, ty, angle, log_scale) → 3x3 similarity in normalized coords.
+
+    The zoom-sway fixture generator: log-scale composes additively like
+    the other pose components, matching the path-smoothing state's
+    (x, y, θ, log-s) parameterization (pipeline/pathsmooth.py)."""
+    tx, ty, ang, logs = params[0], params[1], params[2], params[3]
+    s = jnp.exp(logs)
+    ca, sa = s * jnp.cos(ang), s * jnp.sin(ang)
+    zero, one = jnp.zeros_like(tx), jnp.ones_like(tx)
+    return jnp.array([[ca, -sa, tx], [sa, ca, ty], [zero, zero, one]])
+
+
 def invert_theta(hmat: jax.Array) -> jax.Array:
     """Invert a 3x3 homography (normalized so H[2,2] == 1)."""
     inv = jnp.linalg.inv(hmat)

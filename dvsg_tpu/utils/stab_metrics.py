@@ -74,24 +74,29 @@ def _gray_seq(frames: np.ndarray):
 
 def camera_path(frames: np.ndarray,
                 grays: Optional[list] = None) -> np.ndarray:
-    """Per-step estimated camera motion: (T-1, 3) [dx_px, dy_px, dtheta].
+    """Per-step estimated camera motion:
+    (T-1, 4) [dx_px, dy_px, dtheta, dlog_scale].
 
     Similarity fit between consecutive frames; steps whose tracking
     fails carry NaN (zero would read as "no motion" — the maximally
     OPTIMISTIC value for a stability metric, not a conservative one).
+    The log-scale column reads the similarity fit's zoom component
+    (the quantity pathsmooth's scale smoothing corrects).
     """
     if cv2 is None:  # pragma: no cover
         raise RuntimeError("cv2 unavailable")
     t = frames.shape[0]
     grays = grays or _gray_seq(frames)
-    out = np.full((max(t - 1, 0), 3), np.nan, np.float64)
+    out = np.full((max(t - 1, 0), 4), np.nan, np.float64)
     for i in range(1, t):
         p0, p1 = _track(grays[i - 1], grays[i])
         if p0 is not None:
             a = _similarity(p0, p1)
             if a is not None:
+                s = float(np.hypot(a[0, 0], a[1, 0]))
                 out[i - 1] = (a[0, 2], a[1, 2],
-                              float(np.arctan2(a[1, 0], a[0, 0])))
+                              float(np.arctan2(a[1, 0], a[0, 0])),
+                              np.log(max(s, 1e-9)))
     return out
 
 

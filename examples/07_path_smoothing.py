@@ -8,7 +8,8 @@ missing stage: the camera trajectory is MEASURED chunk by chunk (phase
 correlation on the model-res frames the pipeline already computes) and
 low-passed with an EMA whose horizon you pick — exactly the two-pass
 "estimate path, smooth path" step of classical stabilizers, fused into
-the streaming pipeline with one 2-vector of carried state.
+the streaming pipeline with one (x, y, rotation, log-scale) 4-vector of
+carried state.
 
 This example builds a clip with pronounced sinusoidal sway plus jitter,
 stabilizes it with and without smoothing, and reports the tracked
