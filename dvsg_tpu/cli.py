@@ -253,6 +253,18 @@ def stabilize_main(argv=None) -> int:
                    help="do not measure/smooth zoom/scale sway (on by "
                         "default; rides the same half-frame measurement "
                         "as rotation)")
+    p.add_argument("--path-smooth-conf", type=float, default=2.0,
+                   help="confidence gate on the path measurement "
+                        "(peak-to-second-peak ratio of the correlation "
+                        "surface): deltas from pairs below it are "
+                        "zeroed — scene cuts, flat stretches, and "
+                        "occlusions then decay gracefully instead of "
+                        "poisoning the smoother; 0 disables (default 2.0)")
+    p.add_argument("--path-smooth-cut", type=float, default=1.5,
+                   help="scene-cut gate (<= --path-smooth-conf): below "
+                        "this ratio the smoothing filter RESETS — the "
+                        "correction restarts at zero exactly where the "
+                        "content discontinues; 0 disables (default 1.5)")
     p.add_argument("--resume-dir", default=None,
                    help="flush resume state here each chunk; restart "
                         "resumes at the last flushed chunk (frame-dir "
@@ -370,7 +382,9 @@ def stabilize_main(argv=None) -> int:
                 strength=strength, path_smooth=args.path_smooth,
                 path_smooth_max=args.path_smooth_max,
                 path_smooth_rotation=not args.path_smooth_no_rotation,
-                path_smooth_scale=not args.path_smooth_no_scale)
+                path_smooth_scale=not args.path_smooth_no_scale,
+                path_smooth_conf=args.path_smooth_conf,
+                path_smooth_cut=args.path_smooth_cut)
             border_crop = _run_autocrop_scan(scan_cfg, params,
                                              [args.input], video_io)
         cfg = StabilizeConfig(
@@ -379,7 +393,9 @@ def stabilize_main(argv=None) -> int:
             path_smooth=args.path_smooth,
             path_smooth_max=args.path_smooth_max,
             path_smooth_rotation=not args.path_smooth_no_rotation,
-            path_smooth_scale=not args.path_smooth_no_scale)
+            path_smooth_scale=not args.path_smooth_no_scale,
+            path_smooth_conf=args.path_smooth_conf,
+            path_smooth_cut=args.path_smooth_cut)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)

@@ -87,6 +87,26 @@ class StabilizeConfig:
                                        # sway (the DIVERGENCE of the same
                                        # four half-frame shifts whose curl
                                        # gives rotation); log-scale units
+    path_smooth_conf: float = 2.0      # confidence gate on the path
+                                       # measurement: per-pair peak-to-
+                                       # second-peak ratio of the phase-
+                                       # correlation surface; deltas from
+                                       # pairs below it are ZEROED (scene
+                                       # change, flat/low-texture,
+                                       # occlusion — the EMA then decays
+                                       # gracefully instead of ingesting a
+                                       # garbage delta). 0 disables.
+                                       # Measured: healthy tracking >= 5.3
+                                       # even under 3x-spec shake; cuts and
+                                       # flat frames <= 1.35 — at BOTH 32²
+                                       # and 128² (ratio is resolution-
+                                       # independent, unlike the raw peak)
+    path_smooth_cut: float = 1.5       # scene-cut gate (<= conf gate):
+                                       # below this ratio the EMA state
+                                       # RESETS (the correction restarts at
+                                       # 0 — a jump that is invisible
+                                       # exactly when the content
+                                       # discontinues). 0 disables resets
 
     def __post_init__(self):
         if not 0.0 <= self.strength <= 2.0:
@@ -102,6 +122,14 @@ class StabilizeConfig:
         if not 0.0 <= self.path_smooth_max <= 0.25:
             raise ValueError(f"path_smooth_max must be in [0, 0.25], got "
                              f"{self.path_smooth_max}")
+        if self.path_smooth_conf < 0 or not (
+                0.0 <= self.path_smooth_cut <= max(self.path_smooth_conf,
+                                                   0.0)):
+            # A cut must also be gated (its garbage delta zeroed), so the
+            # cut threshold cannot exceed the gate threshold.
+            raise ValueError(
+                f"need 0 <= path_smooth_cut <= path_smooth_conf, got "
+                f"cut={self.path_smooth_cut} conf={self.path_smooth_conf}")
         # border_crop >= 0.5 flips the sign of the identity-grid scale
         # (1 - 2*crop, ops/grid.py): x would DECREASE with pixel index,
         # which inverts the per-block bounds the Pallas coverage guard

@@ -132,13 +132,23 @@ def _parabolic(rm: jax.Array, r0: jax.Array, rp: jax.Array) -> jax.Array:
     return jnp.clip(d, -0.5, 0.5)
 
 
-def _phase_shifts_px(luma: jax.Array) -> jax.Array:
-    """Per-pair sub-pixel image shifts Δ in PIXELS from phase correlation.
+def _phase_shifts_px(luma: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-pair sub-pixel image shifts Δ in PIXELS from phase correlation,
+    plus a per-pair measurement confidence.
 
-    ``luma``: (K, ph, pw) f32. Returns (K-1, 2) with last dim (Δx, Δy)
-    such that f_t(p) = f_{t-1}(p + Δ) — i.e. the inter-frame camera
-    motion of the patch, positive when the sampling grid must move the
-    same way.
+    ``luma``: (K, ph, pw) f32. Returns ``(shifts (K-1, 2), conf (K-1,))``
+    — shifts with last dim (Δx, Δy) such that f_t(p) = f_{t-1}(p + Δ),
+    i.e. the inter-frame camera motion of the patch, positive when the
+    sampling grid must move the same way.
+
+    ``conf`` is the peak-to-second-peak ratio of the correlation surface
+    (second peak taken outside a ±3-px circular exclusion box around the
+    first): a true shift concentrates the unit-modulus cross-power into
+    one Dirichlet peak (ratio ≥ ~5 measured, resolution-independent),
+    while a scene cut, flat texture, or major occlusion decoheres it into
+    noise (ratio ≤ ~1.35 at both 32² and 128² — the raw peak VALUE, by
+    contrast, scales with the surface size and cannot take one
+    threshold).
 
     Phase correlation: the cross-power spectrum F_t·conj(F_{t-1})/|·|
     inverse-transforms to a delta at −Δ (mod size). The integer peak is
@@ -161,6 +171,15 @@ def _phase_shifts_px(luma: jax.Array) -> jax.Array:
     flat = r.reshape(k - 1, ph * pw)
     idx = jnp.argmax(flat, axis=-1)
     iy, ix = idx // pw, idx % pw
+    # Peak-to-second-peak confidence (see docstring): exclude a circular
+    # ±3-px box around the peak, compare against the best of the rest.
+    peak = jnp.max(flat, axis=-1)
+    ddy = (jnp.arange(ph)[None, :] - iy[:, None] + ph // 2) % ph - ph // 2
+    ddx = (jnp.arange(pw)[None, :] - ix[:, None] + pw // 2) % pw - pw // 2
+    excl = ((jnp.abs(ddy) <= 3)[:, :, None]
+            & (jnp.abs(ddx) <= 3)[:, None, :])              # (K-1, ph, pw)
+    second = jnp.max(jnp.where(excl, -jnp.inf, r), axis=(1, 2))
+    conf = peak / jnp.maximum(second, 1e-9)
     # Unwrap the circular peak index to a signed integer shift.
     p0y = jnp.where(iy > ph // 2, iy - ph, iy).astype(jnp.float32)
     p0x = jnp.where(ix > pw // 2, ix - pw, ix).astype(jnp.float32)
@@ -194,10 +213,12 @@ def _phase_shifts_px(luma: jax.Array) -> jax.Array:
     sy = _parabolic(at(-1, 0), r0, at(1, 0)) * step
     sx = _parabolic(at(0, -1), r0, at(0, 1)) * step
     # The correlation peak sits at −Δ.
-    return jnp.stack([-(p0x + o[ux] + sx), -(p0y + o[uy] + sy)], axis=-1)
+    shifts = jnp.stack([-(p0x + o[ux] + sx), -(p0y + o[uy] + sy)],
+                       axis=-1)
+    return shifts, conf
 
 
-def measure_shifts(seq: jax.Array) -> jax.Array:
+def measure_shifts(seq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-step camera translation deltas from consecutive frame pairs.
 
     Args:
@@ -205,21 +226,24 @@ def measure_shifts(seq: jax.Array) -> jax.Array:
         exact array the chunk already computes for the CNN).
 
     Returns:
-      (K-1, 2) f32 deltas in NORMALIZED grid units (align_corners
-      convention, last dim (x, y)): delta[k] = a_{k+1} − a_k where frame
-      i is the scene seen through a camera translated by a_i (sign
-      pinned by tests/test_pathsmooth.py against synthetic translations).
+      ``(deltas (K-1, 2), conf (K-1,))``: deltas in NORMALIZED grid
+      units (align_corners convention, last dim (x, y)): delta[k] =
+      a_{k+1} − a_k where frame i is the scene seen through a camera
+      translated by a_i (sign pinned by tests/test_pathsmooth.py against
+      synthetic translations); conf is the full-frame peak-to-second-
+      peak measurement confidence (see _phase_shifts_px).
     """
     _, mh, mw, _ = seq.shape
     luma = seq.astype(jnp.float32).mean(axis=-1)          # (K, mh, mw)
-    d = _phase_shifts_px(luma)
+    d, conf = _phase_shifts_px(luma)
     scale = jnp.array([2.0 / max(mw - 1, 1), 2.0 / max(mh - 1, 1)],
                       jnp.float32)
-    return d * scale
+    return d * scale, conf
 
 
-def measure_motion(seq: jax.Array) -> jax.Array:
-    """Per-step camera (Δx, Δy, Δθ, Δlog-s) from consecutive frame pairs.
+def measure_motion(seq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-step camera (Δx, Δy, Δθ, Δlog-s) from consecutive frame pairs,
+    plus the full-frame measurement confidence.
 
     Translation from full-frame phase correlation; rotation and scale
     from the DIFFERENTIAL translation of half-frame patches. A rotation
@@ -235,17 +259,20 @@ def measure_motion(seq: jax.Array) -> jax.Array:
 
     with the two independent estimates of each averaged (√2 noise
     reduction). Scale rides the SAME four half-size FFTs rotation
-    already needs — measuring it is free.
+    already needs — measuring it is free. The returned confidence is the
+    FULL-frame one: a cut or texture collapse that decoheres the
+    full-frame correlation invalidates the half-frame differentials with
+    it, so one gate covers all four components.
     """
     _, mh, mw, _ = seq.shape
     luma = seq.astype(jnp.float32).mean(axis=-1)
-    txy = measure_shifts(seq)                              # (K-1, 2)
+    txy, conf = measure_shifts(seq)                        # (K-1, 2)
 
     half_w, half_h = mw // 2, mh // 2
-    d_l = _phase_shifts_px(luma[:, :, :half_w])
-    d_r = _phase_shifts_px(luma[:, :, mw - half_w:])
-    d_t = _phase_shifts_px(luma[:, :half_h, :])
-    d_b = _phase_shifts_px(luma[:, mh - half_h:, :])
+    d_l, _ = _phase_shifts_px(luma[:, :, :half_w])
+    d_r, _ = _phase_shifts_px(luma[:, :, mw - half_w:])
+    d_t, _ = _phase_shifts_px(luma[:, :half_h, :])
+    d_b, _ = _phase_shifts_px(luma[:, mh - half_h:, :])
 
     # Half-center separations in normalized units.
     sep_x = half_w * 2.0 / max(mw - 1, 1)      # left↔right centers
@@ -257,11 +284,12 @@ def measure_motion(seq: jax.Array) -> jax.Array:
     dy_tb = (d_b[:, 1] - d_t[:, 1]) * (2.0 / max(mh - 1, 1))
     dscale = 0.5 * (dx_lr / sep_x + dy_tb / sep_y)
     return jnp.concatenate([txy, dtheta[:, None], dscale[:, None]],
-                           axis=-1)
+                           axis=-1), conf
 
 
 def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
-                         t: int, state: jax.Array
+                         t: int, state: jax.Array,
+                         cuts: "jax.Array | None" = None
                          ) -> Tuple[jax.Array, jax.Array]:
     """The per-frame extra offset e_t = S_t − Ā_t and the updated state.
 
@@ -272,6 +300,12 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
         (C=4: x, y, θ, log-s) — the recursion is component-generic.
       t: output frames in the chunk (static).
       state: (C,) f32 carried D = P − S from the previous chunk.
+      cuts: optional (T + window − 2,) bool aligned with ``deltas``:
+        True marks a detected scene cut at that transition — the EMA
+        state RESETS there (D := rel, so e = 0 at the cut frame and the
+        filter restarts on the new scene's path). The caller zeroes the
+        cut transition's delta too (a cut is below the confidence gate
+        by construction, config.py).
 
     Returns:
       (e (t, C) f32 normalized units (θ in radians), new_state (C,)).
@@ -303,17 +337,23 @@ def smoothed_corrections(cfg: StabilizeConfig, deltas: jax.Array,
     # δ_g for output frame i is deltas[i + N − 2] (halo→first-frame
     # transition for i = 0, so chunk boundaries consume each global
     # delta exactly once).
-    step_deltas = deltas[jnp.arange(t) + (n - 2)]                # (T, C)
+    step_idx = jnp.arange(t) + (n - 2)
+    step_deltas = deltas[step_idx]                               # (T, C)
+    if cuts is None:
+        step_cuts = jnp.zeros((t,), bool)
+    else:
+        step_cuts = cuts[step_idx]                               # (T,)
 
     def body(d, inputs):
-        rel_i, delta_i = inputs
+        rel_i, delta_i, cut_i = inputs
         d = (1.0 - alpha) * (d + delta_i)
+        d = jnp.where(cut_i, rel_i, d)      # scene cut: restart (e = 0)
         e = jnp.clip(rel_i - d, -clamp, clamp)
         d = rel_i - e                       # anti-windup: absorb the clamp
         return d, e
 
     new_state, e = jax.lax.scan(body, state.astype(jnp.float32),
-                                (rel, step_deltas))
+                                (rel, step_deltas, step_cuts))
     return e, new_state
 
 
@@ -355,15 +395,25 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
         # One measurement pass serves both: rotation is the curl of the
         # four half-frame shifts, scale their divergence. A disabled
         # component's deltas are zeroed so its EMA state stays inert.
-        deltas = measure_motion(seq)                   # (K-1, 4)
+        deltas, conf = measure_motion(seq)             # (K-1, 4)
         mask = jnp.array([1.0, 1.0, float(want_rot), float(want_scale)],
                          jnp.float32)
         deltas = deltas * mask
     else:
-        d2 = measure_shifts(seq)
+        d2, conf = measure_shifts(seq)
         deltas = jnp.concatenate(
             [d2, jnp.zeros((d2.shape[0], 2), d2.dtype)], axis=-1)
-    e, new_state = smoothed_corrections(cfg, deltas, t, state)
+    cuts = None
+    if cfg.path_smooth_conf > 0:
+        # Confidence gate: a pair whose correlation peak is not clearly
+        # dominant (scene cut, flat stretch, occlusion) contributes NO
+        # delta — the EMA decays gracefully instead of ingesting a
+        # garbage measurement that would persist ~L frames.
+        ok = conf >= jnp.float32(cfg.path_smooth_conf)
+        deltas = deltas * ok[:, None].astype(deltas.dtype)
+        if cfg.path_smooth_cut > 0:
+            cuts = conf < jnp.float32(cfg.path_smooth_cut)
+    e, new_state = smoothed_corrections(cfg, deltas, t, state, cuts=cuts)
     out = offsets + e[:, None, None, :2].astype(offsets.dtype)
     g = grid_ops.identity_grid(gh, gw)              # (gh, gw, 2) (x, y)
     if want_rot:

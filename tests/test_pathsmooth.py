@@ -57,7 +57,7 @@ class TestMeasureShifts:
         img = np.asarray(synthetic.random_still(jax.random.key(0), 64, 64))
         rolled = np.roll(np.roll(img, 3, axis=0), -2, axis=1)
         seq = jnp.stack([jnp.asarray(img), jnp.asarray(rolled)]) - 0.5
-        d = np.asarray(pathsmooth.measure_shifts(seq))[0]
+        d = np.asarray(pathsmooth.measure_shifts(seq)[0])[0]
         # roll(+3, axis=0): f_new(y) = f_old(y-3) → Δy_px = -3 (circular
         # shift, so phase correlation is exact up to the refinement grid).
         np.testing.assert_allclose(d[0], 2 * 2.0 / 63, atol=2e-3)   # x
@@ -68,14 +68,14 @@ class TestMeasureShifts:
         frames, _, path = _translation_clip(jax.random.key(1), t, 160, 192)
         u8 = jnp.clip(jnp.round(frames * 255), 0, 255).astype(jnp.uint8)
         seq = resize_ops.downscale_norm(u8, 96, 96)
-        d = np.asarray(pathsmooth.measure_shifts(seq))
+        d = np.asarray(pathsmooth.measure_shifts(seq)[0])
         true = np.diff(path[:, :2], axis=0)
         # Sub-pixel refinement keeps the estimator unbiased: sign must
         # match and error stays well under a model-res pixel.
         assert np.abs(d - true).max() < 0.004
 
 
-def _ref_corrections(deltas, n, horizon, clamp, t, d0=None):
+def _ref_corrections(deltas, n, horizon, clamp, t, d0=None, cuts=None):
     """Plain-numpy reference of the documented recursion."""
     p = np.concatenate([np.zeros((1, 2)), np.cumsum(deltas, axis=0)])
     d = np.zeros(2) if d0 is None else np.array(d0, np.float64)
@@ -85,6 +85,8 @@ def _ref_corrections(deltas, n, horizon, clamp, t, d0=None):
         g = i + n - 1
         rel = p[g] - p[g - n + 1:g + 1].mean(axis=0)
         d = (1 - alpha) * (d + (p[g] - p[g - 1]))
+        if cuts is not None and cuts[i + n - 2]:
+            d = rel.copy()                   # scene cut: filter restarts
         e = np.clip(rel - d, -clamp, clamp)
         d = rel - e
         es.append(e)
@@ -266,7 +268,7 @@ class TestRotationSmoothing:
         frames = jax.vmap(lambda p: synthetic.jitter_frame(still, p))(path)
         u8 = jnp.clip(jnp.round(frames * 255), 0, 255).astype(jnp.uint8)
         seq = resize_ops.downscale_norm(u8, 96, 96)
-        m = np.asarray(pathsmooth.measure_motion(seq))
+        m = np.asarray(pathsmooth.measure_motion(seq)[0])
         true = np.diff(np.asarray(path[:, :3]), axis=0)
         assert m.shape == (t - 1, 4)
         # Unbiased to ~a few percent, noise well under the true motion
@@ -310,6 +312,107 @@ class TestRotationSmoothing:
         assert r_smooth < 0.75 * r_plain, (r_plain, r_smooth)
 
 
+class TestConfidenceGating:
+    """Scene cuts, flat stretches, and occlusions must not poison the
+    EMA (VERDICT round-4 missing #3): the peak-to-second-peak ratio of
+    the correlation surface gates the deltas (below path_smooth_conf →
+    zeroed) and detects cuts (below path_smooth_cut → filter reset)."""
+
+    def test_conf_discriminates(self):
+        fr, still, _ = synthetic.synthetic_clip(jax.random.key(0), 4,
+                                                160, 192)
+        other = synthetic.random_still(jax.random.key(99), 160, 192)
+        rng = np.random.default_rng(0)
+        flat = jnp.asarray(np.clip(
+            0.5 + rng.normal(0, 0.006, (2, 160, 192, 3)), 0, 1),
+            jnp.float32)
+        seq_f = jnp.concatenate([fr, other[None], flat], axis=0)
+        u8 = jnp.clip(jnp.round(seq_f * 255), 0, 255).astype(jnp.uint8)
+        seq = resize_ops.downscale_norm(u8, 96, 96)
+        _, conf = pathsmooth.measure_shifts(seq)
+        conf = np.asarray(conf)
+        # pairs: 0-2 within-scene (healthy), 3 = scene cut, 4 = cut to
+        # flat, 5 = flat pair — gates at the config defaults (2.0 / 1.5).
+        assert conf[:3].min() > 2.0, conf
+        assert conf[3] < 1.5, conf
+        assert conf[4] < 1.5, conf
+        assert conf[5] < 1.5, conf
+
+    def test_cut_resets_recursion(self):
+        t, n = 10, 3
+        deltas = np.full((t + n - 2, 2), 0.01, np.float32)
+        cuts = np.zeros((t + n - 2,), bool)
+        cuts[5] = True
+        deltas[5] = 0.0       # the gate zeroes the cut transition's delta
+        cfg = StabilizeConfig(model=ModelConfig(window=n), path_smooth=16)
+        e, d = pathsmooth.smoothed_corrections(
+            cfg, jnp.asarray(deltas), t, jnp.zeros((2,)),
+            cuts=jnp.asarray(cuts))
+        e = np.asarray(e)
+        # The cut is consumed at output frame i = 5 - (n - 2) = 4: the
+        # correction must restart at exactly 0 there.
+        np.testing.assert_allclose(e[4], 0.0, atol=1e-7)
+        e_ref, d_ref = _ref_corrections(deltas.astype(np.float64), n, 16,
+                                        cfg.path_smooth_max, t, cuts=cuts)
+        np.testing.assert_allclose(e, e_ref, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-6)
+
+    def test_cut_clip_recovers_to_fresh_stream(self, params):
+        """A hard cut mid-clip: with the default gates, output after the
+        cut must converge to what a FRESH stream of the second scene
+        produces; with gating disabled the garbage cut delta persists in
+        the EMA and tracks worse."""
+        from dvsg_tpu.utils.metrics import psnr
+        a = np.asarray(synthetic.synthetic_clip_u8(jax.random.key(21),
+                                                   8, 64, 80)[0])
+        b = np.asarray(synthetic.synthetic_clip_u8(jax.random.key(22),
+                                                   8, 64, 80)[0])
+        both = np.concatenate([a, b], axis=0)
+        fresh = Stabilizer(CFG, params).stabilize_clip(b)
+        gated = Stabilizer(CFG, params).stabilize_clip(both)
+        ungated = Stabilizer(
+            CFG.replace(path_smooth_conf=0.0, path_smooth_cut=0.0),
+            params).stabilize_clip(both)
+        # Frames 12-15: CNN windows are pure second-scene content in both
+        # runs, so any difference is the smoothing state's history.
+        p_gated = psnr(gated[12:16], fresh[4:8])
+        p_ungated = psnr(ungated[12:16], fresh[4:8])
+        assert p_gated > 40.0, (p_gated, p_ungated)
+        assert p_gated > p_ungated + 3.0, (p_gated, p_ungated)
+
+    def test_flat_stretch_decays_instead_of_garbage(self, params):
+        """Frames going flat mid-stream: gated deltas are zeroed, so the
+        correction DECAYS (bounded by its pre-flat value) instead of
+        chasing random correlation peaks."""
+        a = np.asarray(synthetic.synthetic_clip_u8(jax.random.key(23),
+                                                   8, 64, 80)[0])
+        rng = np.random.default_rng(0)
+        flat = np.clip(128 + rng.normal(0, 1.5, (8, 64, 80, 3)), 0,
+                       255).astype(np.uint8)
+        clip = np.concatenate([a, flat], axis=0)
+        gated = Stabilizer(CFG, params).stabilize_clip(clip)
+        ungated = Stabilizer(
+            CFG.replace(path_smooth_conf=0.0, path_smooth_cut=0.0),
+            params).stabilize_clip(clip)
+        # The flat frames carry no structure for the ungated measurement:
+        # its corrections are random-peak garbage and the two runs
+        # diverge; the gated run must stay closer to the no-smoothing
+        # output on the flat tail (its correction only decays from the
+        # handover value).
+        plain = Stabilizer(CFG.replace(path_smooth=0),
+                           params).stabilize_clip(clip)
+        d_gated = np.abs(gated[10:].astype(int) - plain[10:].astype(int))
+        d_ungated = np.abs(ungated[10:].astype(int)
+                           - plain[10:].astype(int))
+        assert d_gated.mean() <= d_ungated.mean(), (
+            d_gated.mean(), d_ungated.mean())
+
+    def test_validation_rejects_cut_above_conf(self):
+        with pytest.raises(ValueError, match="path_smooth_cut"):
+            StabilizeConfig(path_smooth=8, path_smooth_conf=1.0,
+                            path_smooth_cut=2.0)
+
+
 class TestScaleSmoothing:
     """Zoom/scale sway (VERDICT round-4 missing #4): the DIVERGENCE of
     the same four half-frame shifts whose curl gives rotation recovers
@@ -342,7 +445,7 @@ class TestScaleSmoothing:
         still = synthetic.random_still(jax.random.key(2), 192, 224)
         u8 = self._render(path4, still)
         seq = resize_ops.downscale_norm(jnp.asarray(u8), 96, 96)
-        m = np.asarray(pathsmooth.measure_motion(seq))
+        m = np.asarray(pathsmooth.measure_motion(seq)[0])
         true = np.diff(path4.astype(np.float64), axis=0)
         assert m.shape == (t - 1, 4)
         # Measured round-5 at 96²: slope 0.99, rms err ~2e-4 log-units.
