@@ -5,17 +5,33 @@ chunked device core is wrapped in a push API: feed frames one at a time,
 receive stabilized frames as each chunk fills. Latency = chunk_frames
 frames (set chunk_frames=1 for frame-level latency — static shapes make
 that just another compiled program).
+
+Path smoothing (cfg.path_smooth > 0) is fully supported: the one-pole
+EMA over the measured camera path is CAUSAL by construction, so live
+streaming is its natural home — the carried (4,) state threads through
+``push``/``flush`` exactly as ``Stabilizer._chunk`` threads it
+(pipeline/stabilize.py), and the output is byte-identical to
+``Stabilizer.stabilize_clip`` on the same frames.
+
+End-of-stream contract: ``flush()`` pads its partial chunk by
+replicating the last frame; those pad frames advance the carried halo
+and smoothing state PAST the true stream position, so a flushed stream
+is ENDED — further ``push`` calls raise until ``reset()``. (Silently
+continuing used to treat the pad frames as real history — wrong for the
+halo even without smoothing, and it would let pad-frame deltas decay a
+continuing stream's EMA state.)
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from dvsg_tpu.config import StabilizeConfig
 from dvsg_tpu.pipeline.stabilize import (fetch_frames, initial_halo,
-                                         put_frames, stabilize_chunk)
+                                         put_frames, stabilize_chunk,
+                                         stabilize_chunk_smooth)
 
 
 class OnlineStabilizer:
@@ -30,24 +46,36 @@ class OnlineStabilizer:
     """
 
     def __init__(self, cfg: StabilizeConfig, params):
-        from dvsg_tpu.pipeline import pathsmooth
-        pathsmooth.reject_unsupported(
-            cfg, "the online per-frame surface (pipeline/online.py)")
         self.cfg = cfg
         self.params = params
         self._buf: List[np.ndarray] = []
         self._halo = None
+        self._smooth_state = None
+        self._ended = False
 
     def _process(self, frames: np.ndarray, n_valid: int) -> np.ndarray:
         if self._halo is None:
             self._halo = initial_halo(self.cfg, frames[0])
-        out, self._halo, _ = stabilize_chunk(
-            self.cfg, self.params, put_frames(frames), self._halo)
+            if self.cfg.path_smooth > 0:
+                from dvsg_tpu.pipeline import pathsmooth
+                self._smooth_state = pathsmooth.initial_state()
+        if self.cfg.path_smooth > 0:
+            out, self._halo, self._smooth_state, _ = stabilize_chunk_smooth(
+                self.cfg, self.params, put_frames(frames), self._halo,
+                self._smooth_state)
+        else:
+            out, self._halo, _ = stabilize_chunk(
+                self.cfg, self.params, put_frames(frames), self._halo)
         return fetch_frames(out[:n_valid])
 
     def push(self, frame: np.ndarray) -> List[np.ndarray]:
         """Add one (H, W, 3) uint8 frame; returns 0 or chunk_frames
         stabilized frames."""
+        if self._ended:
+            raise RuntimeError(
+                "this stream was ended by flush() (its replicate-padding "
+                "advanced the carried state past the true stream "
+                "position); call reset() to start a new stream")
         frame = np.asarray(frame)
         if frame.dtype != np.uint8:
             # Reject rather than cast: a float frame in [0, 1] (common
@@ -68,7 +96,9 @@ class OnlineStabilizer:
         return list(self._process(chunk, chunk.shape[0]))
 
     def flush(self) -> List[np.ndarray]:
-        """Process any buffered partial chunk (replicate-padded)."""
+        """Process any buffered partial chunk (replicate-padded) and END
+        the stream (see module docstring); a no-op on an empty buffer
+        leaves the stream open."""
         if not self._buf:
             return []
         n_valid = len(self._buf)
@@ -76,9 +106,12 @@ class OnlineStabilizer:
         self._buf.clear()
         pad = np.repeat(chunk[-1:], self.cfg.chunk_frames - n_valid, axis=0)
         chunk = np.concatenate([chunk, pad], axis=0)
+        self._ended = True
         return list(self._process(chunk, n_valid))
 
     def reset(self):
         """Drop buffered frames and streaming state (new scene/source)."""
         self._buf.clear()
         self._halo = None
+        self._smooth_state = None
+        self._ended = False

@@ -58,19 +58,22 @@ def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
     """Fail loudly where the smoothing state cannot be carried.
 
     The EMA is strictly sequential over each clip's camera path, so a
-    surface that runs chunks out of stream order (temporal sharding),
-    has no state slot in its baked I/O signature (AOT artifacts), or
-    re-enters per frame without a stream handle (online) must refuse —
-    silently dropping the flag would ship unsmoothed output under a
-    smoothing config. Clip-batched surfaces DO carry it (per-clip
-    (B, STATE_DIM) states ride the vmap; see thread_batch_state).
+    surface that cannot carry the state must refuse — silently dropping
+    the flag would ship unsmoothed output under a smoothing config.
+    Clip-batched surfaces carry it per-clip ((B, STATE_DIM) states ride
+    the vmap; see thread_batch_state); the online push surface threads
+    it per stream (pipeline/online.py); AOT artifacts bake a state slot
+    into their I/O signature (export.py); the temporal-sharded surface
+    all-gathers the (tiny) per-shard deltas and runs the identical scan
+    on every device (parallel/temporal.py).
     """
     if cfg.path_smooth > 0:
         raise ValueError(
-            f"path_smooth is not supported on {surface}; supported "
-            "surfaces: Stabilizer clip/stream/overlapped drivers "
-            "(dvsg-stabilize), the clip-batch surfaces (stabilize-batch, "
-            "parallel/dp.py, the serving batch engine)")
+            f"path_smooth is not supported on {surface}; every shipped "
+            "surface supports it (clip/stream/overlapped drivers, "
+            "stabilize-batch, parallel/dp.py, the serving batch engine, "
+            "the online push API, AOT artifacts, temporal sharding) — "
+            "this caller opted out explicitly")
 
 
 def thread_batch_state(fn4, n_clips: int, sharding=None,

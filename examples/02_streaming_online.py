@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--chunk-frames", type=int, default=4)
+    ap.add_argument("--path-smooth", type=int, default=0,
+                    help="EMA horizon for live camera-path smoothing "
+                         "(causal, so it is NATIVE to this surface; the "
+                         "(x, y, rot, log-scale) state threads through "
+                         "push/flush automatically)")
     args = ap.parse_args()
 
     import jax
@@ -36,7 +41,8 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     params, mcfg = load_npz(os.path.join(root, "checkpoints",
                                          "flagship_fast.npz"))
-    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames)
+    cfg = StabilizeConfig(model=mcfg, chunk_frames=args.chunk_frames,
+                          path_smooth=args.path_smooth)
 
     # Stand-in for a live source: a synthetic shaky clip, frame by frame.
     shaky, _, _ = synthetic_clip_u8(jax.random.key(0), args.frames,

@@ -659,10 +659,8 @@ class TestBatchSurfaces:
 
 
 class TestUnsupportedSurfaces:
-    def test_online_rejects(self, params):
-        from dvsg_tpu.pipeline.online import OnlineStabilizer
-        with pytest.raises(ValueError, match="path_smooth"):
-            OnlineStabilizer(CFG, params)
+    # The online surface supports smoothing since round 5
+    # (tests/test_online.py::TestSmoothedOnline pins byte-identity).
 
     def test_temporal_rejects(self, params):
         from dvsg_tpu.parallel import temporal
