@@ -352,7 +352,8 @@ def stabilize_main(argv=None) -> int:
         stab = loaded.engine()
         print(f"artifact {args.artifact}: T={cfg.chunk_frames}, "
               f"warp={cfg.warp_impl}, strength={cfg.strength}, "
-              f"border_crop={cfg.border_crop} (baked at export)",
+              f"border_crop={cfg.border_crop}, "
+              f"path_smooth={cfg.path_smooth} (baked at export)",
               file=sys.stderr)
     else:
         if args.checkpoint:
@@ -791,6 +792,13 @@ def export_main(argv=None) -> int:
                    help="force the local jax platform (cpu/tpu)")
     p.add_argument("--border-crop", type=float, default=0.0)
     p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--path-smooth", type=int, default=0, metavar="FRAMES",
+                   help="bake cross-chunk camera-path smoothing into the "
+                        "artifact (see dvsg-stabilize --path-smooth): the "
+                        "(4,) EMA state becomes an extra state-in → "
+                        "state-out slot of the exported signature")
+    p.add_argument("--path-smooth-max", type=float, default=0.05,
+                   help="clamp on the smoothing correction (baked)")
     _add_model_args(p)
     args = p.parse_args(argv)
     _resolve_preset(args)
@@ -814,10 +822,16 @@ def export_main(argv=None) -> int:
 
     h, w = args.size
     chunk = args.chunk_frames or _auto_chunk(h, w)
+    if args.path_smooth < 0 or not 0 <= args.path_smooth_max <= 0.25:
+        print("ERROR: --path-smooth must be >= 0 and "
+              "--path-smooth-max in [0, 0.25]", file=sys.stderr)
+        return 2
     cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                           warp_impl=args.warp_impl,
                           border_crop=args.border_crop,
-                          strength=args.strength)
+                          strength=args.strength,
+                          path_smooth=args.path_smooth,
+                          path_smooth_max=args.path_smooth_max)
     platforms = (args.for_platform,) if args.for_platform else None
     # Resolve warp_impl="auto" against the TARGET platform, not the
     # build host: --for-platform tpu from a CPU box must bake the Pallas

@@ -20,6 +20,17 @@ validated at load time. The exported callable is exactly
     (frames_u8 (T, H, W, C), halo (window-1, mh, mw, C) f32)
       -> (stabilized_u8 (T, H, W, C), new_halo, offsets (T, gh, gw, 2))
 
+With ``cfg.path_smooth > 0`` the artifact bakes the path-smoothing
+stage and its state slot into the I/O signature — state-in → state-out,
+exactly like the halo (``stabilize_chunk_smooth_impl``):
+
+    (frames_u8, halo, smooth_state (4,) f32)
+      -> (stabilized_u8, new_halo, new_smooth_state, offsets)
+
+so a deployed ``.dvsgx`` ships the full quality feature; the loaded
+engine threads the state across chunks and streams like the live
+pipeline (byte-identical, tests/test_export.py).
+
 Cross-platform: pass ``platforms=("tpu",)`` on a CPU host to lower for a
 TPU serving fleet (XLA's ahead-of-time path; the Pallas warp kernel
 serializes as a ``tpu_custom_call`` — its ABI is tied to the libtpu
@@ -81,21 +92,29 @@ def export_chunk_program(cfg: StabilizeConfig, params, height: int,
 
     from dvsg_tpu.ops import warp as warp_ops
     from dvsg_tpu.pipeline import pathsmooth
-    from dvsg_tpu.pipeline.stabilize import stabilize_chunk_impl
-
-    # The artifact I/O signature has no smoothing-state slot; refuse
-    # rather than bake a config the loaded engine cannot honor.
-    pathsmooth.reject_unsupported(cfg, "AOT export (dvsg_tpu/export.py)")
+    from dvsg_tpu.pipeline.stabilize import (stabilize_chunk_impl,
+                                             stabilize_chunk_smooth_impl)
 
     plats = tuple(platforms) if platforms else None
     cfg = resolve_cfg_platforms(cfg, plats)
 
-    def fn(frames_u8, halo):
-        return stabilize_chunk_impl(cfg, params, frames_u8, halo)
-
     frames_spec = jax.ShapeDtypeStruct(
         (cfg.chunk_frames, height, width, cfg.model.channels), np.uint8)
     halo_spec = jax.ShapeDtypeStruct(_halo_shape(cfg), np.float32)
+    if cfg.path_smooth > 0:
+        # Bake the smoothing stage in: the state rides the signature
+        # like the halo (state-in → state-out), so the deployed artifact
+        # ships the full quality feature (VERDICT round-4 item 2).
+        def fn(frames_u8, halo, smooth_state):
+            return stabilize_chunk_smooth_impl(cfg, params, frames_u8,
+                                               halo, smooth_state)
+        specs = (frames_spec, halo_spec,
+                 jax.ShapeDtypeStruct((pathsmooth.STATE_DIM,),
+                                      np.float32))
+    else:
+        def fn(frames_u8, halo):
+            return stabilize_chunk_impl(cfg, params, frames_u8, halo)
+        specs = (frames_spec, halo_spec)
     disabled = ()
     if warp_ops.resolve_impl(cfg.warp_impl) != "lax":
         # The Pallas kernel lowers to a tpu_custom_call, which jax.export
@@ -104,8 +123,7 @@ def export_chunk_program(cfg: StabilizeConfig, params, height: int,
         disabled = (jexport.DisabledSafetyCheck.custom_call(
             "tpu_custom_call"),)
     return jexport.export(jax.jit(fn), platforms=plats,
-                          disabled_checks=list(disabled))(
-        frames_spec, halo_spec)
+                          disabled_checks=list(disabled))(*specs)
 
 
 def export_batch_program(cfg: StabilizeConfig, params, n_clips: int,
@@ -124,34 +142,45 @@ def export_batch_program(cfg: StabilizeConfig, params, n_clips: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from dvsg_tpu.ops import warp as warp_ops
-    from dvsg_tpu.parallel.dp import _stabilize_chunk_batch
+    from dvsg_tpu.parallel.dp import (_stabilize_chunk_batch,
+                                      _stabilize_chunk_batch_smooth)
     from dvsg_tpu.parallel.mesh import DATA_AXIS
     from dvsg_tpu.pipeline import pathsmooth
 
-    pathsmooth.reject_unsupported(
-        cfg, "AOT batch export (dvsg_tpu/export.py)")
     cfg = resolve_cfg_platforms(
         cfg, tuple(platforms) if platforms else None)
     shard = NamedSharding(mesh, P(DATA_AXIS))
-    fn = jax.jit(
-        lambda frames, halos: _stabilize_chunk_batch(cfg, params, frames,
-                                                     halos),
-        in_shardings=(shard, shard),
-        out_shardings=(shard, shard, shard))
 
     frames_spec = jax.ShapeDtypeStruct(
         (n_clips, cfg.chunk_frames, height, width, cfg.model.channels),
         np.uint8)
     halos_spec = jax.ShapeDtypeStruct((n_clips,) + _halo_shape(cfg),
                                       np.float32)
+    if cfg.path_smooth > 0:
+        # Per-clip (B, STATE_DIM) smoothing states ride the vmap and the
+        # clip sharding, exactly like the live sharded program.
+        fn = jax.jit(
+            lambda frames, halos, states: _stabilize_chunk_batch_smooth(
+                cfg, params, frames, halos, states),
+            in_shardings=(shard, shard, shard),
+            out_shardings=(shard, shard, shard, shard))
+        specs = (frames_spec, halos_spec,
+                 jax.ShapeDtypeStruct((n_clips, pathsmooth.STATE_DIM),
+                                      np.float32))
+    else:
+        fn = jax.jit(
+            lambda frames, halos: _stabilize_chunk_batch(cfg, params,
+                                                         frames, halos),
+            in_shardings=(shard, shard),
+            out_shardings=(shard, shard, shard))
+        specs = (frames_spec, halos_spec)
     disabled = ()
     if warp_ops.resolve_impl(cfg.warp_impl) != "lax":
         disabled = (jexport.DisabledSafetyCheck.custom_call(
             "tpu_custom_call"),)
     plats = tuple(platforms) if platforms else None
     return jexport.export(fn, platforms=plats,
-                          disabled_checks=list(disabled))(
-        frames_spec, halos_spec)
+                          disabled_checks=list(disabled))(*specs)
 
 
 def save_exported(exp, path: str, cfg: StabilizeConfig,
@@ -194,6 +223,7 @@ class ExportedStabilizer:
         self._exported = exported
         self.meta = meta
         self.cfg = stabilize_config_from_dict(meta["config"])
+        self.smooth = self.cfg.path_smooth > 0
         shape, _ = meta["in_avals"][0]
         self.batched = len(shape) == 5
         if self.batched:
@@ -204,7 +234,19 @@ class ExportedStabilizer:
             self.chunk_frames, self.height, self.width, self.channels = \
                 shape
 
-    def chunk(self, frames_u8, halo):
+    def chunk(self, frames_u8, halo, smooth_state=None):
+        """The raw exported step. A smoothed artifact
+        (``self.smooth``) takes and returns the extra state:
+        (out, new_halo, new_state, offsets) vs (out, new_halo, offsets).
+        """
+        if self.smooth:
+            if smooth_state is None:
+                raise ValueError(
+                    "this artifact was exported with path_smooth="
+                    f"{self.cfg.path_smooth}: chunk() needs the carried "
+                    "smooth_state (pathsmooth.initial_state() at stream "
+                    "start)")
+            return self._call()(frames_u8, halo, smooth_state)
         return self._call()(frames_u8, halo)
 
     def _call(self):
@@ -231,9 +273,10 @@ class ExportedStabilizer:
                 f"has {len(jax.devices())}")
         mesh = make_mesh((need,))
         shard = NamedSharding(mesh, P(DATA_AXIS))
+        n_in = 3 if self.smooth else 2
         self._call_fn = jax.jit(self._exported.call,
-                                in_shardings=(shard, shard),
-                                out_shardings=(shard, shard, shard))
+                                in_shardings=(shard,) * n_in,
+                                out_shardings=(shard,) * (n_in + 1))
         return self._call_fn
 
     def engine(self):
@@ -254,6 +297,14 @@ class ExportedStabilizer:
                 super().__init__(loaded.cfg, params=None)
 
             def _chunk(self, dev_chunk, halo):
+                if loaded.smooth:
+                    # Thread the baked-in state slot exactly as the live
+                    # pipeline's _chunk threads stabilize_chunk_smooth.
+                    if self._smooth_state is None:
+                        self.begin_stream()
+                    out, halo, self._smooth_state, offs = loaded.chunk(
+                        dev_chunk, halo, self._smooth_state)
+                    return out, halo, offs
                 return loaded.chunk(dev_chunk, halo)
 
         return _ArtifactStabilizer()
@@ -263,7 +314,9 @@ class ExportedStabilizer:
 
         Mirrors ``parallel.dp.ShardedClipStabilizer.stabilize_clips``
         (same drive_chunked_batch loop, so D2H pipelining and tail
-        padding behave identically)."""
+        padding behave identically; smoothed artifacts thread per-clip
+        states through pathsmooth.thread_batch_state, like the live
+        sharded surface)."""
         from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
 
         if not self.batched:
@@ -272,6 +325,12 @@ class ExportedStabilizer:
             raise ValueError(
                 f"artifact was exported for {self.n_clips} clips, got "
                 f"{clips_u8.shape[0]}")
+        if self.smooth:
+            from dvsg_tpu.pipeline import pathsmooth
+            fn = pathsmooth.thread_batch_state(
+                lambda _p, frames, halos, states: self.chunk(
+                    frames, halos, states), self.n_clips)
+            return drive_chunked_batch(fn, None, self.cfg, clips_u8)
         return drive_chunked_batch(
             lambda _params, frames, halos: self.chunk(frames, halos),
             None, self.cfg, clips_u8)
@@ -292,6 +351,10 @@ class ExportedStabilizer:
                 f"{(self.height, self.width, self.channels)}, got "
                 f"{tuple(frames_u8.shape[1:])}")
         halo = initial_halo(self.cfg, frames_u8[0])
+        state = None
+        if self.smooth:
+            from dvsg_tpu.pipeline import pathsmooth
+            state = pathsmooth.initial_state()
         t_chunk = self.chunk_frames
         outs = []
         for start in range(0, total, t_chunk):
@@ -300,7 +363,10 @@ class ExportedStabilizer:
             if n_valid < t_chunk:
                 pad = np.repeat(chunk[-1:], t_chunk - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            out, halo, _ = self.chunk(chunk, halo)
+            if self.smooth:
+                out, halo, state, _ = self.chunk(chunk, halo, state)
+            else:
+                out, halo, _ = self.chunk(chunk, halo)
             outs.append(np.asarray(out)[:n_valid])
         return np.concatenate(outs, axis=0)
 

@@ -39,7 +39,7 @@ def _stabilize_chunk_batch(cfg: StabilizeConfig, params, frames_u8, halos):
 
 def _stabilize_chunk_batch_smooth(cfg: StabilizeConfig, params, frames_u8,
                                   halos, states):
-    """Path-smoothed batched chunk step: per-clip (B, 3) EMA states ride
+    """Path-smoothed batched chunk step: per-clip (B, 4) EMA states ride
     the same vmap (each clip's camera path is independent)."""
     from dvsg_tpu.pipeline.stabilize import stabilize_chunk_smooth_impl
     out, new_halos, new_states, offs = jax.vmap(
@@ -52,7 +52,7 @@ def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     """jit the batched chunk step with clips sharded over the data axis.
 
     With cfg.path_smooth > 0 the returned fn takes and returns a fourth
-    (B, 3) per-clip smoothing-state array, sharded like the clips (use
+    (B, 4) per-clip smoothing-state array, sharded like the clips (use
     ``pathsmooth.thread_batch_state`` to adapt it to the 3-arg drive
     loop contract)."""
     clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))

@@ -58,6 +58,30 @@ def main():
     print(f"artifact vs live on-chip: max|out| {d_out} LSB, "
           f"max|halo| {d_halo:.2e}, max|offsets| {d_offs:.2e}", flush=True)
     ok = d_out == 0 and d_halo == 0.0 and d_offs == 0.0
+
+    # Smoothed artifact (round 5): the state slot rides the signature.
+    from dvsg_tpu.pipeline import pathsmooth
+    from dvsg_tpu.pipeline.stabilize import stabilize_chunk_smooth_impl
+    scfg = cfg.replace(path_smooth=32)
+    t0 = time.perf_counter()
+    sexp = export_lib.export_chunk_program(scfg, params, h, w,
+                                           platforms=("tpu",))
+    spath = "/tmp/flagship_fast_720p_smooth.dvsgx"
+    export_lib.save_exported(sexp, spath, scfg)
+    print(f"smoothed export in {time.perf_counter() - t0:.1f}s", flush=True)
+    sloaded = export_lib.load_exported(spath)
+    state = pathsmooth.initial_state()
+    so_a, sh_a, st_a, sf_a = sloaded.chunk(frames, halo, state)
+    so_b, sh_b, st_b, sf_b = jax.jit(
+        lambda p, f, hl, st: stabilize_chunk_smooth_impl(scfg, p, f, hl,
+                                                         st))(
+            params, frames, halo, state)
+    sd_out = int(np.max(np.abs(np.asarray(so_a).astype(int)
+                               - np.asarray(so_b).astype(int))))
+    sd_state = float(np.max(np.abs(np.asarray(st_a) - np.asarray(st_b))))
+    print(f"smoothed artifact vs live: max|out| {sd_out} LSB, "
+          f"max|state| {sd_state:.2e}", flush=True)
+    ok = ok and sd_out == 0 and sd_state == 0.0
     print("PASS" if ok else "MISMATCH", flush=True)
     return 0 if ok else 1
 

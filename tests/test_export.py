@@ -273,6 +273,103 @@ class TestBatchExport:
         assert diff <= 1, f"kernel-vs-lax artifact diff {diff} LSB"
 
 
+class TestSmoothedExport:
+    """Path smoothing in the artifact (VERDICT round-4 item 2): the
+    (4,) EMA state is a state-in → state-out slot of the exported
+    signature, and every loaded consumption path threads it — byte-
+    identical to the live smoothed pipeline."""
+
+    @pytest.fixture(scope="class")
+    def smooth_setup(self):
+        mcfg = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8),
+                           base_features=8, levels=2, blocks_per_level=1)
+        cfg = StabilizeConfig(model=mcfg, chunk_frames=4, warp_impl="lax",
+                              path_smooth=8)
+        params = motion_cnn.init_params(mcfg, jax.random.key(1))
+        frames, _, _ = synthetic.synthetic_clip_u8(jax.random.key(2), 10,
+                                                   48, 64)
+        return cfg, params, np.asarray(frames)
+
+    def test_smoothed_artifact_matches_live(self, tmp_path, smooth_setup):
+        cfg, params, frames = smooth_setup
+        path = str(tmp_path / "s.dvsgx")
+        exp = export_lib.export_chunk_program(cfg, params, 48, 64)
+        export_lib.save_exported(exp, path, cfg)
+        loaded = export_lib.load_exported(path)
+        assert loaded.smooth
+        assert len(loaded.meta["in_avals"]) == 3      # state slot baked
+        assert loaded.meta["in_avals"][2][0] == [4]
+        out = loaded.stabilize_clip(frames)
+        ref = Stabilizer(cfg, params).stabilize_clip(frames)
+        np.testing.assert_array_equal(out, np.asarray(ref))
+
+    def test_smoothed_engine_streaming_matches(self, tmp_path,
+                                               smooth_setup):
+        """The artifact engine rides the full streaming driver with the
+        state threaded (resume machinery included)."""
+        cfg, params, frames = smooth_setup
+        path = str(tmp_path / "s.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_chunk_program(cfg, params, 48, 64), path,
+            cfg)
+        stab = export_lib.load_exported(path).engine()
+
+        class _R:
+            i = 0
+
+            def read_batch(self, k):
+                c = frames[self.i:self.i + k]
+                self.i += c.shape[0]
+                return c
+
+        class _W:
+            chunks = []
+
+            def write_batch(self, x):
+                self.chunks.append(np.array(x))
+
+        w = _W()
+        n = stab.stabilize_stream(_R(), w)
+        assert n == frames.shape[0]
+        ref = Stabilizer(cfg, params).stabilize_clip(frames)
+        np.testing.assert_array_equal(np.concatenate(w.chunks),
+                                      np.asarray(ref))
+
+    def test_chunk_without_state_raises(self, tmp_path, smooth_setup):
+        cfg, params, frames = smooth_setup
+        path = str(tmp_path / "s.dvsgx")
+        export_lib.save_exported(
+            export_lib.export_chunk_program(cfg, params, 48, 64), path,
+            cfg)
+        loaded = export_lib.load_exported(path)
+        halo = initial_halo(cfg, frames[0])
+        with pytest.raises(ValueError, match="smooth_state"):
+            loaded.chunk(frames[:4], halo)
+
+    def test_smoothed_batch_artifact_matches_dp(self, tmp_path,
+                                                smooth_setup):
+        from dvsg_tpu.parallel import mesh as mesh_lib
+        from dvsg_tpu.parallel.dp import ShardedClipStabilizer
+
+        cfg, params, _ = smooth_setup
+        mesh = mesh_lib.make_mesh()
+        n_dev = mesh.devices.size
+        clips = np.stack([
+            np.asarray(synthetic.synthetic_clip_u8(
+                jax.random.key(30 + i), 6, 48, 64)[0])
+            for i in range(n_dev)])
+        path = str(tmp_path / "sb.dvsgx")
+        exp = export_lib.export_batch_program(cfg, params, n_dev, 48, 64,
+                                              mesh)
+        export_lib.save_exported(exp, path, cfg)
+        loaded = export_lib.load_exported(path)
+        assert loaded.batched and loaded.smooth
+        out = loaded.stabilize_clips(clips)
+        ref = ShardedClipStabilizer(cfg, params, mesh).stabilize_clips(
+            clips)
+        np.testing.assert_array_equal(out, np.asarray(ref))
+
+
 class TestArtifactCLI:
     """`dvsg-stabilize --artifact model.dvsgx`: the artifact rides the
     full streaming driver (engine() subclass) and matches the
