@@ -29,15 +29,19 @@ from dvsg_tpu.parallel.mesh import DATA_AXIS
 from dvsg_tpu.pipeline.stabilize import predict_chunk_offsets
 
 
-def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
+def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo,
+                 smooth_state=None):
     """Per-device body under shard_map.
 
     frames_u8: (T_local, H, W, C) this device's temporal shard.
     chunk_halo: (window-1, mh, mw, C) — the chunk-level carry, used by
       device 0 only; other devices use their left neighbor's tail.
+    smooth_state: optional (4,) carried path-smoothing state (the
+      chunk-level carry, same value on every device).
     Returns (stabilized_u8 local shard, this device's tail (window-1 model
     frames), stacked so the host can pick the LAST shard's tail as the
-    next chunk's halo).
+    next chunk's halo) — plus the new smoothing state when smoothing is
+    on.
     """
     mcfg = cfg.model
     t_local, h, w, _ = frames_u8.shape
@@ -59,10 +63,39 @@ def _local_chunk(cfg: StabilizeConfig, params, frames_u8, chunk_halo):
 
     seq = jnp.concatenate([prev, small], axis=0)
     offsets = predict_chunk_offsets(cfg, params, seq, t_local)
+
+    new_state = None
+    if smooth_state is not None:
+        # Path smoothing under temporal sharding, EXACTLY (VERDICT
+        # round-4 item 7): the EMA is sequential over time, but its
+        # inputs — per-pair deltas — are tiny ((T, 4) f32). Each device
+        # measures its LOCAL pairs (the expensive FFT part, perfectly
+        # parallel), one all_gather over ICI assembles the chunk-global
+        # delta sequence, and every device runs the identical gating +
+        # scan redundantly (nanoseconds) then slices its own shard's
+        # corrections. Device i's local delta entry m is global entry
+        # i*T_local + m, so device 0 contributes its full local array
+        # and each later device its last T_local entries — a contiguous
+        # exact reconstruction of the single-device measurement.
+        from dvsg_tpu.pipeline import pathsmooth
+        d_loc, c_loc = pathsmooth.measure(cfg, seq)   # (T_l+n-2, 4)
+        gd = jax.lax.all_gather(d_loc, DATA_AXIS)     # (n_dev, T_l+n-2, 4)
+        gc = jax.lax.all_gather(c_loc, DATA_AXIS)
+        parts_d = [gd[0]] + [gd[i, n - 2:] for i in range(1, n_dev)]
+        parts_c = [gc[0]] + [gc[i, n - 2:] for i in range(1, n_dev)]
+        gdeltas = jnp.concatenate(parts_d, axis=0)    # (T+n-2, 4)
+        gconf = jnp.concatenate(parts_c, axis=0)
+        e, new_state = pathsmooth.corrections_from_measured(
+            cfg, gdeltas, gconf, t_local * n_dev, smooth_state)
+        e_loc = jax.lax.dynamic_slice_in_dim(e, idx * t_local, t_local)
+        offsets = pathsmooth.apply_corrections(cfg, offsets, e_loc)
+
     out_u8 = warp_ops.warp_quantize_batch(
         frames_u8, warp_impl=cfg.warp_impl,
         offsets=offsets, border_crop=cfg.border_crop)
-    return out_u8, tail[None]                    # leading shard axis
+    if new_state is not None:
+        return out_u8, tail[None], new_state         # leading shard axis
+    return out_u8, tail[None]
 
 
 def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
@@ -71,16 +104,18 @@ def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     fn(params, frames (T, H, W, C) u8, halo (window-1, mh, mw, C)) →
     (stabilized (T, H, W, C) u8 sharded on T, tails (n_dev, window-1, ...)
     — take tails[-1] as the next chunk's halo). T % n_dev must be 0.
+
+    With cfg.path_smooth > 0 the fn takes and returns an extra (4,)
+    replicated smoothing state (see _local_chunk: per-shard measurement
+    + one tiny all_gather + a redundant identical scan — output is
+    byte-identical to the single-device smoothed pipeline, pinned by
+    tests/test_temporal.py).
     """
-    from dvsg_tpu.pipeline import pathsmooth
-    # The smoothing EMA is sequential over time, which temporal sharding
-    # breaks — refuse rather than ship unsmoothed output under the flag.
-    pathsmooth.reject_unsupported(
-        cfg, "the temporal-sharded surface (parallel/temporal.py)")
     from jax import shard_map
 
     repl = NamedSharding(mesh, P())
     t_sharded = NamedSharding(mesh, P(DATA_AXIS))
+    smooth = cfg.path_smooth > 0
 
     # check_vma=False: the pallas_call inside the body declares no
     # varying-mesh-axes metadata on its out_shape (the kernel is shared
@@ -88,10 +123,16 @@ def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     body = shard_map(
         functools.partial(_local_chunk, cfg),
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=((P(), P(DATA_AXIS), P(), P()) if smooth
+                  else (P(), P(DATA_AXIS), P())),
+        out_specs=((P(DATA_AXIS), P(DATA_AXIS), P()) if smooth
+                   else (P(DATA_AXIS), P(DATA_AXIS))),
         check_vma=False,
     )
+    if smooth:
+        return jax.jit(body,
+                       in_shardings=(repl, t_sharded, repl, repl),
+                       out_shardings=(t_sharded, t_sharded, repl))
     return jax.jit(body,
                    in_shardings=(repl, t_sharded, repl),
                    out_shardings=(t_sharded, t_sharded))
@@ -132,8 +173,17 @@ class TemporalShardedStabilizer:
         # one clip (and inherit its one-chunk D2H pipelining); the adapter
         # maps the driver's (B, ...) halo-carry convention onto this
         # surface's (shard-stacked tails → take the LAST shard's tail).
-        def fn(params, frames_dev, halos):
-            out, tails = self._fn(params, frames_dev[0], halos[0])
-            return out[None], tails[-1][None]
+        if self.cfg.path_smooth > 0:
+            from dvsg_tpu.pipeline import pathsmooth
+            box = [pathsmooth.initial_state()]
+
+            def fn(params, frames_dev, halos):
+                out, tails, box[0] = self._fn(params, frames_dev[0],
+                                              halos[0], box[0])
+                return out[None], tails[-1][None]
+        else:
+            def fn(params, frames_dev, halos):
+                out, tails = self._fn(params, frames_dev[0], halos[0])
+                return out[None], tails[-1][None]
         return drive_chunked_batch(fn, self.params, self.cfg,
                                    frames_u8[None])[0]

@@ -57,15 +57,16 @@ from dvsg_tpu.config import StabilizeConfig
 def reject_unsupported(cfg: StabilizeConfig, surface: str) -> None:
     """Fail loudly where the smoothing state cannot be carried.
 
-    The EMA is strictly sequential over each clip's camera path, so a
-    surface that cannot carry the state must refuse — silently dropping
-    the flag would ship unsmoothed output under a smoothing config.
-    Clip-batched surfaces carry it per-clip ((B, STATE_DIM) states ride
-    the vmap; see thread_batch_state); the online push surface threads
-    it per stream (pipeline/online.py); AOT artifacts bake a state slot
-    into their I/O signature (export.py); the temporal-sharded surface
-    all-gathers the (tiny) per-shard deltas and runs the identical scan
-    on every device (parallel/temporal.py).
+    As of round 5 EVERY shipped surface carries it — clip/stream/
+    overlapped drivers, the clip-batch surfaces ((B, STATE_DIM) states
+    ride the vmap; thread_batch_state), the online push API
+    (pipeline/online.py), AOT artifacts (a state-in → state-out slot in
+    the baked signature; export.py), and temporal sharding (per-shard
+    measurement + one tiny all_gather + a redundant identical scan;
+    parallel/temporal.py) — so no in-tree caller invokes this anymore.
+    It stays for third-party drivers composing their own surface on the
+    low-level chunk fns: silently dropping the flag would ship
+    unsmoothed output under a smoothing config.
     """
     if cfg.path_smooth > 0:
         raise ValueError(
@@ -389,9 +390,19 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
     exactly), and partial stabilization means "keep some handheld feel",
     not "keep some of the drift the user asked this stage to remove".
     """
-    from dvsg_tpu.ops import grid as grid_ops
+    t = offsets.shape[0]
+    deltas, conf = measure(cfg, seq)
+    e, new_state = corrections_from_measured(cfg, deltas, conf, t, state)
+    return apply_corrections(cfg, offsets, e), new_state
 
-    t, gh, gw, _ = offsets.shape
+
+def measure(cfg: StabilizeConfig, seq: jax.Array
+            ) -> Tuple[jax.Array, jax.Array]:
+    """Per-pair (K-1, 4) deltas + confidence for the config's enabled
+    components. The measure/correct/apply split exists for the
+    temporal-sharded surface, which measures LOCALLY, all-gathers the
+    (tiny) deltas, and runs the identical correction scan on every
+    device (parallel/temporal.py)."""
     want_rot = cfg.path_smooth_rotation
     want_scale = cfg.path_smooth_scale
     if want_rot or want_scale:
@@ -406,6 +417,13 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
         d2, conf = measure_shifts(seq)
         deltas = jnp.concatenate(
             [d2, jnp.zeros((d2.shape[0], 2), d2.dtype)], axis=-1)
+    return deltas, conf
+
+
+def corrections_from_measured(cfg: StabilizeConfig, deltas: jax.Array,
+                              conf: jax.Array, t: int, state: jax.Array
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Confidence gating + the EMA scan: (deltas, conf) → (e, state)."""
     cuts = None
     if cfg.path_smooth_conf > 0:
         # Confidence gate: a pair whose correlation peak is not clearly
@@ -416,16 +434,24 @@ def apply_path_smoothing(cfg: StabilizeConfig, seq: jax.Array,
         deltas = deltas * ok[:, None].astype(deltas.dtype)
         if cfg.path_smooth_cut > 0:
             cuts = conf < jnp.float32(cfg.path_smooth_cut)
-    e, new_state = smoothed_corrections(cfg, deltas, t, state, cuts=cuts)
+    return smoothed_corrections(cfg, deltas, t, state, cuts=cuts)
+
+
+def apply_corrections(cfg: StabilizeConfig, offsets: jax.Array,
+                      e: jax.Array) -> jax.Array:
+    """Add the per-frame correction fields to the coarse offsets."""
+    from dvsg_tpu.ops import grid as grid_ops
+
+    _, gh, gw, _ = offsets.shape
     out = offsets + e[:, None, None, :2].astype(offsets.dtype)
     g = grid_ops.identity_grid(gh, gw)              # (gh, gw, 2) (x, y)
-    if want_rot:
+    if cfg.path_smooth_rotation:
         rot = jnp.stack([-g[..., 1], g[..., 0]], axis=-1)
         out = out + (e[:, 2][:, None, None, None]
                      * rot[None]).astype(offsets.dtype)
-    if want_scale:
+    if cfg.path_smooth_scale:
         # e_s·(X, Y): the log-scale correction is a linear field, exact
         # under the bilinear upsample like the rotation field.
         out = out + (e[:, 3][:, None, None, None]
                      * g[None]).astype(offsets.dtype)
-    return out, new_state
+    return out

@@ -659,18 +659,19 @@ class TestBatchSurfaces:
 
 
 class TestUnsupportedSurfaces:
-    # The online surface supports smoothing since round 5
-    # (tests/test_online.py::TestSmoothedOnline pins byte-identity).
+    # Since round 5 EVERY surface supports smoothing: online
+    # (tests/test_online.py::TestSmoothedOnline), AOT export
+    # (tests/test_export.py::TestSmoothedExport), temporal sharding
+    # (tests/test_temporal.py::TestSmoothedTemporal) — each pinned
+    # byte-identical to the single-device smoothed pipeline.
 
-    def test_temporal_rejects(self, params):
-        from dvsg_tpu.parallel import temporal
-        from dvsg_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh((len(jax.devices()),))
+    def test_reject_helper_still_raises(self, params):
+        """reject_unsupported stays for third-party drivers composing
+        their own surface on the low-level chunk fns."""
         with pytest.raises(ValueError, match="path_smooth"):
-            temporal.make_temporal_chunk_fn(CFG, mesh)
-
-    # AOT export bakes the smoothing state slot since round 5
-    # (tests/test_export.py::TestSmoothedExport pins byte-identity).
+            pathsmooth.reject_unsupported(CFG, "a custom driver")
+        pathsmooth.reject_unsupported(CFG.replace(path_smooth=0),
+                                      "a custom driver")   # no-op
 
     def test_autocrop_covers_smoothing_clamp(self, params):
         from dvsg_tpu.pipeline.autocrop import pick_border_crop

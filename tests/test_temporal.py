@@ -96,3 +96,46 @@ def test_local_shard_shorter_than_halo_rejected():
         pytest.skip("needs the 8-device virtual mesh")
     with pytest.raises(ValueError, match="window-1"):
         TemporalShardedStabilizer(cfg, params, mesh)
+
+
+class TestSmoothedTemporal:
+    """Path smoothing under temporal sharding (VERDICT round-4 item 7):
+    per-shard measurement + one tiny all_gather + a redundant identical
+    scan on every device — output must be byte-identical to the
+    single-device smoothed pipeline."""
+
+    def _clip(self, n, key=7):
+        from dvsg_tpu.train import synthetic
+        return np.asarray(synthetic.synthetic_clip_u8(
+            jax.random.key(key), n, 32, 40)[0])
+
+    def test_smoothed_matches_single_device(self, params):
+        cfg = CFG.replace(path_smooth=8)
+        frames = self._clip(40)
+        mesh = mesh_lib.make_mesh()
+        sharded = TemporalShardedStabilizer(cfg, params, mesh)
+        single = Stabilizer(cfg, params)
+        np.testing.assert_array_equal(sharded.stabilize_clip(frames),
+                                      single.stabilize_clip(frames))
+
+    def test_smoothed_partial_last_chunk(self, params):
+        cfg = CFG.replace(path_smooth=8)
+        frames = self._clip(21, key=9)
+        mesh = mesh_lib.make_mesh()
+        np.testing.assert_array_equal(
+            TemporalShardedStabilizer(cfg, params,
+                                      mesh).stabilize_clip(frames),
+            Stabilizer(cfg, params).stabilize_clip(frames))
+
+    def test_smoothed_with_pallas_interpret(self, params):
+        """The production kernel + smoothing + all_gather all inside the
+        same shard_map program."""
+        cfg = CFG.replace(path_smooth=8, warp_impl="pallas_interpret")
+        frames = self._clip(16, key=11)
+        mesh = mesh_lib.make_mesh()
+        out_p = TemporalShardedStabilizer(cfg, params,
+                                          mesh).stabilize_clip(frames)
+        out_l = TemporalShardedStabilizer(
+            cfg.replace(warp_impl="lax"), params,
+            mesh).stabilize_clip(frames)
+        assert np.abs(out_p.astype(int) - out_l.astype(int)).max() <= 1
