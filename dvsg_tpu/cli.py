@@ -253,6 +253,13 @@ def stabilize_main(argv=None) -> int:
                    help="do not measure/smooth zoom/scale sway (on by "
                         "default; rides the same half-frame measurement "
                         "as rotation)")
+    p.add_argument("--path-smooth-lag", type=int, default=0, metavar="D",
+                   help="fixed-lag smoothing: delay output by D frames "
+                        "and smooth the path with a ZERO-PHASE two-sided "
+                        "filter over the D-frame lookahead instead of "
+                        "the causal EMA — tracks the path tighter at the "
+                        "same clamp (offline runs; not with --overlap); "
+                        "try half of --path-smooth")
     p.add_argument("--path-smooth-conf", type=float, default=2.0,
                    help="confidence gate on the path measurement "
                         "(peak-to-second-peak ratio of the correlation "
@@ -385,7 +392,8 @@ def stabilize_main(argv=None) -> int:
                 path_smooth_rotation=not args.path_smooth_no_rotation,
                 path_smooth_scale=not args.path_smooth_no_scale,
                 path_smooth_conf=args.path_smooth_conf,
-                path_smooth_cut=args.path_smooth_cut)
+                path_smooth_cut=args.path_smooth_cut,
+                path_smooth_lag=args.path_smooth_lag)
             border_crop = _run_autocrop_scan(scan_cfg, params,
                                              [args.input], video_io)
         cfg = StabilizeConfig(
@@ -396,7 +404,8 @@ def stabilize_main(argv=None) -> int:
             path_smooth_rotation=not args.path_smooth_no_rotation,
             path_smooth_scale=not args.path_smooth_no_scale,
             path_smooth_conf=args.path_smooth_conf,
-            path_smooth_cut=args.path_smooth_cut)
+            path_smooth_cut=args.path_smooth_cut,
+            path_smooth_lag=args.path_smooth_lag)
         stab = Stabilizer(cfg, params)
     writer = video_io.VideoWriter(args.output, reader.width, reader.height,
                                   reader.fps)

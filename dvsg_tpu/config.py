@@ -101,6 +101,20 @@ class StabilizeConfig:
                                        # flat frames <= 1.35 — at BOTH 32²
                                        # and 128² (ratio is resolution-
                                        # independent, unlike the raw peak)
+    path_smooth_lag: int = 0           # fixed-lag smoothing lookahead D in
+                                       # frames (0 = causal EMA): output is
+                                       # delayed D frames and the smoothed
+                                       # path comes from a truncated
+                                       # two-sided exponential FIR over the
+                                       # measured deltas — zero phase lag,
+                                       # so at equal clamp it tracks the
+                                       # path tighter than the causal EMA
+                                       # (measured: residual sway RMS
+                                       # 0.0131 EMA → 0.0089 at D=16 →
+                                       # 0.0054 at D=32 on the sway sim;
+                                       # pipeline gates in tests). Offline
+                                       # clip/stream surfaces only — live
+                                       # surfaces stay causal
     path_smooth_cut: float = 1.5       # scene-cut gate (<= conf gate):
                                        # below this ratio the EMA state
                                        # RESETS (the correction restarts at
@@ -122,6 +136,23 @@ class StabilizeConfig:
         if not 0.0 <= self.path_smooth_max <= 0.25:
             raise ValueError(f"path_smooth_max must be in [0, 0.25], got "
                              f"{self.path_smooth_max}")
+        if self.path_smooth_lag < 0 or self.path_smooth_lag > 64:
+            raise ValueError(
+                f"path_smooth_lag must be in [0, 64], got "
+                f"{self.path_smooth_lag}")
+        if self.path_smooth_lag > 0:
+            if self.path_smooth <= 0:
+                raise ValueError(
+                    "path_smooth_lag needs path_smooth > 0 (the lag is a "
+                    "lookahead for the path smoother)")
+            if self.path_smooth_lag > self.chunk_frames:
+                # The lag program carries exactly D frames between chunks
+                # and emits T per step; D > T would need multi-chunk
+                # emission bookkeeping for no practical benefit (raise
+                # chunk_frames instead).
+                raise ValueError(
+                    f"path_smooth_lag ({self.path_smooth_lag}) must be "
+                    f"<= chunk_frames ({self.chunk_frames})")
         if self.path_smooth_conf < 0 or not (
                 0.0 <= self.path_smooth_cut <= max(self.path_smooth_conf,
                                                    0.0)):

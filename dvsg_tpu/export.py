@@ -95,6 +95,9 @@ def export_chunk_program(cfg: StabilizeConfig, params, height: int,
     from dvsg_tpu.pipeline.stabilize import (stabilize_chunk_impl,
                                              stabilize_chunk_smooth_impl)
 
+    pathsmooth.lag_reject(
+        cfg, "AOT export (the artifact signature has no shifted-"
+             "emission slot; export the causal smoother instead)")
     plats = tuple(platforms) if platforms else None
     cfg = resolve_cfg_platforms(cfg, plats)
 
@@ -147,6 +150,7 @@ def export_batch_program(cfg: StabilizeConfig, params, n_clips: int,
     from dvsg_tpu.parallel.mesh import DATA_AXIS
     from dvsg_tpu.pipeline import pathsmooth
 
+    pathsmooth.lag_reject(cfg, "AOT batch export")
     cfg = resolve_cfg_platforms(
         cfg, tuple(platforms) if platforms else None)
     shard = NamedSharding(mesh, P(DATA_AXIS))

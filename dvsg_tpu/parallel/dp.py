@@ -55,6 +55,8 @@ def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     (B, 4) per-clip smoothing-state array, sharded like the clips (use
     ``pathsmooth.thread_batch_state`` to adapt it to the 3-arg drive
     loop contract)."""
+    from dvsg_tpu.pipeline import pathsmooth
+    pathsmooth.lag_reject(cfg, "the clip-sharded DP surface")
     clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))
     clip_sharded_f = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())

@@ -113,6 +113,8 @@ def make_temporal_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     """
     from jax import shard_map
 
+    from dvsg_tpu.pipeline import pathsmooth
+    pathsmooth.lag_reject(cfg, "the temporal-sharded surface")
     repl = NamedSharding(mesh, P())
     t_sharded = NamedSharding(mesh, P(DATA_AXIS))
     smooth = cfg.path_smooth > 0

@@ -64,6 +64,8 @@ class BatchStabilizer:
 
     def __init__(self, cfg: StabilizeConfig, params,
                  max_batch: int = 8, window_s: float = 0.005):
+        from dvsg_tpu.pipeline import pathsmooth
+        pathsmooth.lag_reject(cfg, "the serving batch engine")
         self.cfg = cfg
         self.params = params
         self.max_batch = max(1, max_batch)

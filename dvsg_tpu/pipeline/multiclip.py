@@ -117,6 +117,8 @@ def stabilize_multi(cfg: StabilizeConfig, params,
     timer = timer or StageTimer()
     n = len(readers)
     assert n == len(writers)
+    from dvsg_tpu.pipeline import pathsmooth as _ps
+    _ps.lag_reject(cfg, "the multi-clip batch driver")
     t_chunk = cfg.chunk_frames
     h, w = readers[0].shape
     for r in readers:

@@ -46,6 +46,11 @@ class OnlineStabilizer:
     """
 
     def __init__(self, cfg: StabilizeConfig, params):
+        from dvsg_tpu.pipeline import pathsmooth
+        pathsmooth.lag_reject(
+            cfg, "the online push surface (live consumers cannot pay "
+                 "a D-frame output delay; the causal smoother IS "
+                 "supported here)")
         self.cfg = cfg
         self.params = params
         self._buf: List[np.ndarray] = []

@@ -69,6 +69,9 @@ def stabilize_stream_overlapped(stab: Stabilizer,
                                 timer: Optional[StageTimer] = None) -> int:
     """Stream with decode/compute/encode overlap; returns frames written."""
     timer = timer or StageTimer()
+    from dvsg_tpu.pipeline import pathsmooth
+    pathsmooth.lag_reject(stab.cfg, "the overlapped stream driver "
+                          "(use the sync driver for lag runs)")
     cfg = stab.cfg
     t_chunk = cfg.chunk_frames
 

@@ -46,6 +46,7 @@ literature (one-pole low-pass over an estimated camera trajectory).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -435,6 +436,109 @@ def corrections_from_measured(cfg: StabilizeConfig, deltas: jax.Array,
         if cfg.path_smooth_cut > 0:
             cuts = conf < jnp.float32(cfg.path_smooth_cut)
     return smoothed_corrections(cfg, deltas, t, state, cuts=cuts)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-lag smoothing (cfg.path_smooth_lag = D > 0): output delayed D
+# frames; the smoothed path S is a truncated two-sided exponential FIR
+# over the path — ZERO phase lag, unlike the causal one-pole, so at equal
+# clamp it tracks the path tighter (measured on the sway sim: residual
+# RMS 0.0131 causal → 0.0089 at D=16 → 0.0054 at D=32; under
+# clamp-saturating sway 0.0591 → 0.0427 — the zero-phase S stays closer
+# to P, so the clamp saturates less and more of the smoothing survives).
+#
+# Expressed entirely in DELTAS (the unbounded absolute path never
+# materializes): S_g − P_g = Σ_k c_k·δ_{g+k} with fixed taps c over
+# k ∈ [−K+1, D] (K = past horizon), so e_g = rel_g + Σ c·δ, clamped.
+# A pure FIR: no recursion, no filter state, chunk invariance for free;
+# the only carried quantities are the measurement window, D raw frames,
+# and their D offset grids (pipeline/stabilize.stabilize_chunk_lag_impl).
+# The clamp applies at the OUTPUT only (no anti-windup state to absorb
+# it — there is no state); when sway exceeds the clamp the correction
+# rails and recovers as S returns within reach. Scene-cut handling is
+# the confidence gate alone: a cut's garbage delta is zeroed, and with
+# no state there is nothing to reset — corrections within K+D frames of
+# a cut blend the two scenes' paths, bounded by the clamp (documented;
+# the causal mode's reset is sharper there, the FIR's tracking is better
+# everywhere else).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _lag_taps_np(horizon: int, lag: int, window: int):
+    """Delta-domain FIR taps (numpy, cached per static config).
+
+    Returns (K, taps (K+lag,) f32): taps[m] is the coefficient of
+    δ_{g+k} with k = m − K + 1.
+    """
+    import numpy as np
+    lam = 1.0 - 2.0 / (horizon + 1.0)
+    k_past = max(min(2 * horizon, 96), window - 1)
+    j = np.arange(-k_past, lag + 1)
+    w = lam ** np.abs(j)
+    w = w / w.sum()
+    taps = np.zeros(k_past + lag, np.float32)
+    for m in range(k_past + lag):
+        k = m - k_past + 1
+        if k >= 1:
+            taps[m] = w[k + k_past:].sum()     # Σ_{j≥k} w_j
+        else:
+            taps[m] = -w[:k + k_past].sum()    # −Σ_{j≤k−1} w_j
+    return k_past, taps
+
+
+def lag_carry_len(cfg: StabilizeConfig) -> int:
+    """Measurement-window entries carried between chunks in lag mode."""
+    k_past, _ = _lag_taps_np(cfg.path_smooth, cfg.path_smooth_lag,
+                             cfg.model.window)
+    return k_past + cfg.path_smooth_lag - (cfg.model.window - 1)
+
+
+def lag_corrections(cfg: StabilizeConfig, deltas_ext: jax.Array,
+                    conf_ext: jax.Array, t: int) -> jax.Array:
+    """Per-frame corrections e (t, C) for the lag mode.
+
+    ``deltas_ext``/``conf_ext``: the extended measurement window
+    (t + K + D − 1 entries) = carried entries ++ this chunk's; emitted
+    frame i's transition entries sit at [i, i + K + D − 1] and its
+    window-mean entries at [i + K − window + 1, i + K − 1].
+    """
+    n = cfg.model.window
+    k_past, taps = _lag_taps_np(cfg.path_smooth, cfg.path_smooth_lag,
+                                cfg.model.window)
+    clamp = jnp.float32(cfg.path_smooth_max)
+    deltas_ext = deltas_ext.astype(jnp.float32)
+    if cfg.path_smooth_conf > 0:
+        ok = conf_ext >= jnp.float32(cfg.path_smooth_conf)
+        deltas_ext = deltas_ext * ok[:, None].astype(deltas_ext.dtype)
+
+    w = (jnp.arange(1, n, dtype=jnp.float32) / n)[:, None]       # (N−1, 1)
+    r_idx = (jnp.arange(t)[:, None] + (k_past - n + 1)
+             + jnp.arange(n - 1)[None, :])                       # (T, N−1)
+    rel = jnp.einsum("tnc,nz->tc", deltas_ext[r_idx], w)
+
+    f_idx = jnp.arange(t)[:, None] + jnp.arange(len(taps))[None, :]
+    fir = jnp.einsum("tmc,m->tc", deltas_ext[f_idx],
+                     jnp.asarray(taps))
+    return jnp.clip(rel + fir, -clamp, clamp)
+
+
+def lag_reject(cfg: StabilizeConfig, surface: str) -> None:
+    """Fail loudly where the lag mode's delayed emission cannot work.
+
+    The lag program shifts emission by D frames and drains at EOF —
+    bookkeeping only the offline clip/stream drivers implement. Live
+    surfaces (online push, serving) keep the CAUSAL smoother by design:
+    a D-frame output delay is exactly what a live consumer cannot pay.
+    Batch/DP/temporal/export dispositions live in ARCHITECTURE.md
+    "Known gaps"; silently dropping the flag would ship un-lagged output
+    under a lag config.
+    """
+    if cfg.path_smooth_lag > 0:
+        raise ValueError(
+            f"path_smooth_lag is not supported on {surface}; supported: "
+            "Stabilizer.stabilize_clip / stabilize_stream "
+            "(dvsg-stabilize without --overlap). Live surfaces are "
+            "causal by design — drop the lag or use those drivers")
 
 
 def apply_corrections(cfg: StabilizeConfig, offsets: jax.Array,

@@ -167,6 +167,63 @@ stabilize_chunk_smooth = functools.partial(
     donate_argnums=(2, 3, 4))(stabilize_chunk_smooth_impl)
 
 
+def stabilize_chunk_lag_impl(cfg: StabilizeConfig, params,
+                             frames_u8: jax.Array, halo: jax.Array,
+                             carry_frames: jax.Array,
+                             carry_offsets: jax.Array,
+                             carry_d: jax.Array, carry_c: jax.Array):
+    """Fixed-lag smoothed device step (cfg.path_smooth_lag = D > 0).
+
+    Consumes input frames [kT, (k+1)T) and EMITS output frames
+    [kT−D, (k+1)T−D): the last D input frames of every chunk are warped
+    one chunk LATER, once their D-frame delta lookahead exists, through
+    the zero-phase FIR smoother (pathsmooth.lag_corrections). Carried
+    between chunks: the model-res halo (as always), the D delayed raw
+    frames, their D CNN offset grids (computed this chunk, applied
+    next — ~2 KB), and the trailing measurement window (deltas + conf,
+    tiny). Returns (emitted_u8 (T, H, W, C), new_halo, new_carry_frames,
+    new_carry_offsets, new_carry_d, new_carry_c, emitted_offsets).
+
+    The driver drops the first D emitted frames of a stream (they
+    pre-date frame 0) and feeds replicate-pad chunks after EOF until the
+    tail drains — pad transitions measure as exact zero deltas, so
+    chunk-size invariance holds exactly as in the causal mode.
+    """
+    from dvsg_tpu.pipeline import pathsmooth
+    mcfg = cfg.model
+    d_lag = cfg.path_smooth_lag
+    t, h, w, _ = frames_u8.shape
+    mh, mw = mcfg.model_size
+
+    small = resize_ops.downscale_norm(frames_u8, mh, mw)
+    seq = jnp.concatenate([halo, small], axis=0)
+    offsets_cur = predict_chunk_offsets(cfg, params, seq, t)
+
+    deltas_cur, conf_cur = pathsmooth.measure(cfg, seq)
+    deltas_ext = jnp.concatenate([carry_d, deltas_cur], axis=0)
+    conf_ext = jnp.concatenate([carry_c, conf_cur], axis=0)
+    e = pathsmooth.lag_corrections(cfg, deltas_ext, conf_ext, t)
+
+    emit_frames = jnp.concatenate([carry_frames, frames_u8[:t - d_lag]],
+                                  axis=0)
+    emit_offsets = jnp.concatenate(
+        [carry_offsets, offsets_cur[:t - d_lag]], axis=0)
+    emit_offsets = pathsmooth.apply_corrections(cfg, emit_offsets, e)
+    out_u8 = warp_ops.warp_quantize_batch(
+        emit_frames, warp_impl=cfg.warp_impl,
+        offsets=emit_offsets, border_crop=cfg.border_crop)
+
+    c_len = carry_d.shape[0]
+    return (out_u8, seq[t:], frames_u8[t - d_lag:],
+            offsets_cur[t - d_lag:], deltas_ext[t:t + c_len],
+            conf_ext[t:t + c_len], emit_offsets)
+
+
+stabilize_chunk_lag = functools.partial(
+    jax.jit, static_argnums=(0,),
+    donate_argnums=(2, 3, 4, 5, 6, 7))(stabilize_chunk_lag_impl)
+
+
 def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
                         clips_u8: np.ndarray,
                         fetch_clips: Optional[int] = None,
@@ -378,11 +435,56 @@ class Stabilizer:
             return out, halo, offs
         return stabilize_chunk(self.cfg, self.params, dev_chunk, halo)
 
+    def _init_lag_carry(self, first_frame_u8):
+        """Fresh lag-mode carries: D replicated first frames (their
+        emissions are dropped), zero offsets, zero-delta measurement
+        window with replicate-pad confidence (huge → 'healthy, no
+        motion', matching the causal mode's halo-start semantics)."""
+        from dvsg_tpu.pipeline import pathsmooth
+        cfg = self.cfg
+        d_lag = cfg.path_smooth_lag
+        gh, gw = cfg.model.grid_size
+        c_len = pathsmooth.lag_carry_len(cfg)
+        f = jnp.tile(jnp.asarray(first_frame_u8, jnp.uint8)[None],
+                     (d_lag, 1, 1, 1))
+        return (f, jnp.zeros((d_lag, gh, gw, 2), jnp.float32),
+                jnp.zeros((c_len, pathsmooth.STATE_DIM), jnp.float32),
+                jnp.full((c_len,), 1e6, jnp.float32))
+
+    def _stabilize_clip_lag(self, frames_u8: np.ndarray) -> np.ndarray:
+        """Clip driver for the fixed-lag mode: emission is shifted by D
+        frames, so the loop extends D frames past the input (replicate
+        pad) and trims the emitted stream to [0, total)."""
+        cfg = self.cfg
+        d_lag = cfg.path_smooth_lag
+        t_chunk = cfg.chunk_frames
+        total = frames_u8.shape[0]
+        halo = initial_halo(cfg, frames_u8[0])
+        carry = self._init_lag_carry(frames_u8[0])
+        outs = []
+        emitted = -d_lag        # global index of out[0] for next chunk
+        for start in range(0, total + d_lag, t_chunk):
+            idx = np.clip(np.arange(start, start + t_chunk), 0, total - 1)
+            chunk = np.ascontiguousarray(frames_u8[idx])
+            res = stabilize_chunk_lag(cfg, self.params, put_frames(chunk),
+                                      halo, *carry)
+            out, halo, carry = res[0], res[1], res[2:6]
+            lo = max(0, -emitted)
+            hi = min(t_chunk, total - emitted)
+            if hi > lo:
+                outs.append(fetch_frames(out[lo:hi]))
+            self._note_coverage(res[6], chunk.shape[1], chunk.shape[2],
+                                chunk.shape[3])
+            emitted += t_chunk
+        return np.concatenate(outs, axis=0)
+
     def stabilize_clip(self, frames_u8: np.ndarray) -> np.ndarray:
         """frames_u8 (T, H, W, C) uint8 → stabilized (T, H, W, C) uint8."""
         total = frames_u8.shape[0]
         if total == 0:
             return frames_u8
+        if self.cfg.path_smooth_lag > 0:
+            return self._stabilize_clip_lag(frames_u8)
         self.begin_stream()
         halo = initial_halo(self.cfg, frames_u8[0])
         t_chunk = self.cfg.chunk_frames
@@ -398,6 +500,125 @@ class Stabilizer:
             self._note_coverage(offs, chunk.shape[1], chunk.shape[2],
                                 chunk.shape[3])
         return np.concatenate(outs, axis=0)
+
+    def _stabilize_stream_lag(self, reader, writer, timer,
+                              resume_dir) -> int:
+        """Stream driver for the fixed-lag mode (emission shifted by D).
+
+        Invariants: input position pos = emission base + D after every
+        chunk; frames flushed so far = max(0, base). Resume records
+        store the TINY carries (offset grids + measurement window) plus
+        ``lag_real`` = how many of the D carried raw frames are real
+        input (< D only when the record was written in the end-of-stream
+        drain region); the raw frames themselves are re-read from the
+        input on resume instead of writing D full-res frames per flush.
+        """
+        import os
+        cfg = self.cfg
+        d_lag = cfg.path_smooth_lag
+        t_chunk = cfg.chunk_frames
+        written = 0
+        halo = None
+        carry = None
+        last_host = None
+        base = -d_lag
+        total = None
+        if resume_dir:
+            os.makedirs(resume_dir, exist_ok=True)
+            state_path = os.path.join(resume_dir, "resume_state.npz")
+            if os.path.exists(state_path):
+                with np.load(state_path) as z:
+                    written = int(z["frames_written"])
+                    rec = {k: np.array(z[k]) for k in z.files}
+                if written > 0:
+                    if "lag_offsets" not in rec:
+                        raise ValueError(
+                            "resume record was written without the lag "
+                            "smoother's carries but cfg.path_smooth_lag "
+                            "> 0; restart the job (or point --resume-dir "
+                            "elsewhere)")
+                    lag_real = int(rec["lag_real"])
+                    if lag_real == 0:
+                        return written          # job already complete
+                    skipped = reader.skip(written)
+                    if skipped != written:
+                        raise ValueError(
+                            f"resume record says {written} frames but "
+                            f"input only has {skipped} to skip")
+                    cf = reader.read_batch(lag_real)
+                    if cf.shape[0] != lag_real:
+                        raise ValueError(
+                            f"resume record expects {lag_real} carry "
+                            f"frames after frame {written}; input "
+                            f"yielded {cf.shape[0]} — did the input "
+                            "change?")
+                    if lag_real < d_lag:
+                        cf = np.concatenate(
+                            [cf, np.repeat(cf[-1:], d_lag - lag_real,
+                                           axis=0)], axis=0)
+                    writer.seek(written)
+                    halo = jnp.asarray(rec["halo"])
+                    carry = (put_frames(cf),
+                             jnp.asarray(rec["lag_offsets"]),
+                             jnp.asarray(rec["lag_d"]),
+                             jnp.asarray(rec["lag_c"]))
+                    last_host = cf[-1:]
+                    base = written
+                    if lag_real < d_lag:
+                        # The record was written in the drain region:
+                        # the stream's true end is already known.
+                        total = written + lag_real
+        while total is None or base < total:
+            n_in = 0
+            if total is None:
+                with timer.stage("decode"):
+                    chunk = reader.read_batch(t_chunk)
+                n_in = chunk.shape[0]
+            if n_in:
+                last_host = chunk[-1:]
+                if halo is None:
+                    halo = initial_halo(cfg, chunk[0])
+                    carry = self._init_lag_carry(chunk[0])
+            if n_in < t_chunk:
+                if total is None:
+                    total = base + d_lag + n_in     # pos + n_in
+                if last_host is None:
+                    break                           # empty stream
+                if base >= total:
+                    break
+                pad = np.repeat(last_host, t_chunk - n_in, axis=0)
+                chunk = (np.concatenate([chunk, pad], axis=0)
+                         if n_in else pad)
+            with timer.stage("h2d"):
+                dev_chunk = put_frames(chunk)
+            with timer.stage("compute"):
+                res = stabilize_chunk_lag(cfg, self.params, dev_chunk,
+                                          halo, *carry)
+                out, halo, carry = res[0], res[1], res[2:6]
+                out.block_until_ready()
+            lo = max(0, -base)
+            hi = t_chunk if total is None else min(t_chunk, total - base)
+            if hi > lo:
+                with timer.stage("d2h"):
+                    host_out = fetch_frames(out[lo:hi])
+                with timer.stage("encode"):
+                    writer.write_batch(host_out)
+                written += hi - lo
+            self._note_coverage(res[6], chunk.shape[1], chunk.shape[2],
+                                chunk.shape[3])
+            base += t_chunk
+            if resume_dir and written > 0:
+                lag_real = (d_lag if total is None
+                            else max(0, min(d_lag, total - base)))
+                tmp = os.path.join(resume_dir, "resume_state.tmp.npz")
+                np.savez(tmp, halo=np.asarray(halo),
+                         frames_written=written,
+                         lag_offsets=np.asarray(carry[1]),
+                         lag_d=np.asarray(carry[2]),
+                         lag_c=np.asarray(carry[3]),
+                         lag_real=lag_real)
+                os.replace(tmp, state_path)
+        return written
 
     def stabilize_stream(self, reader: video_io.VideoReader,
                          writer: video_io.VideoWriter,
@@ -422,6 +643,9 @@ class Stabilizer:
         for this reason).
         """
         timer = timer or StageTimer()
+        if self.cfg.path_smooth_lag > 0:
+            return self._stabilize_stream_lag(reader, writer, timer,
+                                              resume_dir)
         t_chunk = self.cfg.chunk_frames
         halo = None
         written = 0
@@ -441,7 +665,16 @@ class Stabilizer:
                     halo_np = np.array(z["halo"])
                     smooth_np = (np.array(z["smooth_state"])
                                  if "smooth_state" in z else None)
+                    rec_lag = "lag_offsets" in z
                 if written > 0:
+                    if rec_lag:
+                        # A lag-mode record resumed without the lag
+                        # would shift every subsequent frame by D.
+                        raise ValueError(
+                            "resume record was written by a "
+                            "--path-smooth-lag run but "
+                            "cfg.path_smooth_lag == 0; resume with the "
+                            "original lag setting")
                     if self.cfg.path_smooth > 0 and smooth_np is None:
                         # A record from a run without smoothing cannot
                         # seed the EMA; resuming would silently jump the

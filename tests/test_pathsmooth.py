@@ -413,6 +413,174 @@ class TestConfidenceGating:
                             path_smooth_cut=2.0)
 
 
+LAG_CFG = CFG.replace(path_smooth_lag=4)        # chunk 4, horizon 8, D=4
+
+
+class TestLagSmoothing:
+    """Fixed-lag smoothing (VERDICT round-4 missing #5): output delayed
+    by D frames, path smoothed by a zero-phase two-sided FIR over the
+    lookahead — beats the causal EMA at equal clamp."""
+
+    def _clip(self, n, key=3):
+        return np.asarray(synthetic.synthetic_clip_u8(
+            jax.random.key(key), n, 40, 48)[0])
+
+    def test_chunk_size_invariant(self, params):
+        frames = self._clip(11)
+        out4 = Stabilizer(LAG_CFG, params).stabilize_clip(frames)
+        out8 = Stabilizer(LAG_CFG.replace(chunk_frames=8),
+                          params).stabilize_clip(frames)
+        np.testing.assert_array_equal(out4, out8)
+
+    def test_differs_from_causal(self, params):
+        frames = self._clip(11)
+        out_lag = Stabilizer(LAG_CFG, params).stabilize_clip(frames)
+        out_causal = Stabilizer(CFG, params).stabilize_clip(frames)
+        assert out_lag.shape == frames.shape
+        assert not np.array_equal(out_lag, out_causal)
+
+    def test_stream_equals_clip(self, params):
+        frames = self._clip(14)
+        want = Stabilizer(LAG_CFG, params).stabilize_clip(frames)
+        w = _ListWriter()
+        n = Stabilizer(LAG_CFG, params).stabilize_stream(
+            _ArrayReader(frames, 4), w)
+        assert n == frames.shape[0]
+        np.testing.assert_array_equal(np.concatenate(w.chunks), want)
+
+    def test_beats_causal_on_sway(self, flagship):
+        """The reason the mode exists: zero phase lag tracks the path
+        tighter at the same clamp (measured round-5: 2.15 px causal →
+        1.72 px at D=16 on this fixture; 4.72 input)."""
+        pytest.importorskip("cv2")
+        from dvsg_tpu.utils import stab_metrics
+        params, mcfg = flagship
+        t_n, h, w = 64, 256, 320
+        t = np.arange(t_n)
+        rng = np.random.default_rng(3)
+        path5 = np.zeros((t_n, 5), np.float32)
+        path5[:, 0] = 0.05 * np.sin(2 * np.pi * t / 40) \
+            + rng.normal(0, 0.008, t_n)
+        path5[:, 1] = 0.04 * np.sin(2 * np.pi * t / 56 + 1.0) \
+            + rng.normal(0, 0.008, t_n)
+        still = synthetic.random_still(jax.random.key(11), h, w)
+        frames = jax.vmap(
+            lambda p: synthetic.jitter_frame(still, jnp.asarray(p)))(
+            jnp.asarray(path5))
+        clip = np.asarray(jnp.clip(jnp.round(frames * 255), 0,
+                                   255).astype(jnp.uint8))
+
+        def rms(x):
+            cp = stab_metrics.camera_path(x)
+            cp = np.where(np.isnan(cp), 0.0, cp)
+            p = np.cumsum(cp[:, :2], axis=0)
+            return float(np.sqrt(((p - p.mean(0)) ** 2).mean()))
+
+        outs = {}
+        for lag in (0, 16):
+            cfg = StabilizeConfig(model=mcfg, chunk_frames=16,
+                                  warp_impl="lax", path_smooth=32,
+                                  path_smooth_lag=lag)
+            outs[lag] = Stabilizer(cfg, params).stabilize_clip(clip)
+        r_causal, r_lag = rms(outs[0]), rms(outs[16])
+        assert r_lag < 0.92 * r_causal, (r_causal, r_lag)
+
+    class _FailingWriter:          # standalone: _ListWriter is defined
+        def __init__(self, fail_at):  # later in this module
+            self.chunks = []
+            self.fail_at = fail_at
+            self.calls = 0
+
+        def write_batch(self, x):
+            if self.calls == self.fail_at:
+                raise RuntimeError("injected encoder failure")
+            self.calls += 1
+            self.chunks.append(np.array(x))
+
+        def seek(self, k):
+            pass
+
+    def _resume_run(self, params, frames, rdir, fail_at=None):
+        w = (self._FailingWriter(fail_at) if fail_at is not None
+             else _ListWriter())
+        if fail_at is None:
+            w.seek = lambda k: None
+        r = _ArrayReader(frames, 4)
+        r.skip = lambda k: (setattr(r, "i", k), k)[1]
+        stab = Stabilizer(LAG_CFG, params)
+        try:
+            stab.stabilize_stream(r, w, resume_dir=rdir)
+        except RuntimeError:
+            pass
+        return np.concatenate(w.chunks) if w.chunks else None
+
+    def test_resume_midstream(self, params, tmp_path):
+        """Interrupt mid-stream (carry frames all real): resume must be
+        byte-identical to the uninterrupted run."""
+        frames = self._clip(14, key=5)
+        full = Stabilizer(LAG_CFG, params).stabilize_clip(frames)
+        rdir = str(tmp_path / "r")
+        self._resume_run(params, frames, rdir, fail_at=1)  # record: W=4
+        got = self._resume_run(params, frames, rdir)
+        np.testing.assert_array_equal(got, full[4:])
+
+    def test_resume_in_drain_region(self, params, tmp_path):
+        """Interrupt after EOF was discovered (record's carries are
+        partly replicate-pad, lag_real < D): the drain must resume
+        exactly."""
+        frames = self._clip(14, key=6)
+        full = Stabilizer(LAG_CFG, params).stabilize_clip(frames)
+        rdir = str(tmp_path / "r")
+        self._resume_run(params, frames, rdir, fail_at=3)  # record: W=12
+        got = self._resume_run(params, frames, rdir)
+        np.testing.assert_array_equal(got, full[12:])
+
+    def test_resume_record_mode_mismatches_rejected(self, params,
+                                                    tmp_path):
+        frames = self._clip(8, key=7)
+        rdir = str(tmp_path / "r")
+        self._resume_run(params, frames, rdir, fail_at=1)   # lag record
+        w = _ListWriter()
+        w.seek = lambda k: None
+        r = _ArrayReader(frames, 4)
+        r.skip = lambda k: (setattr(r, "i", k), k)[1]
+        with pytest.raises(ValueError, match="path-smooth-lag run"):
+            Stabilizer(CFG, params).stabilize_stream(r, w,
+                                                     resume_dir=rdir)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="path_smooth_lag needs"):
+            StabilizeConfig(path_smooth_lag=4)
+        with pytest.raises(ValueError, match="chunk_frames"):
+            StabilizeConfig(path_smooth=8, path_smooth_lag=32,
+                            chunk_frames=16)
+
+    def test_unsupported_surfaces_reject(self, params):
+        from dvsg_tpu import export
+        from dvsg_tpu.parallel import dp, temporal
+        from dvsg_tpu.parallel.mesh import make_mesh
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        from dvsg_tpu.pipeline.online import OnlineStabilizer
+        mesh = make_mesh((len(jax.devices()),))
+        for ctor in (
+                lambda: OnlineStabilizer(LAG_CFG, params),
+                lambda: BatchStabilizer(LAG_CFG, params),
+                lambda: dp.make_sharded_chunk_fn(LAG_CFG, mesh),
+                lambda: temporal.make_temporal_chunk_fn(LAG_CFG, mesh),
+                lambda: export.export_chunk_program(LAG_CFG, params,
+                                                    40, 48)):
+            with pytest.raises(ValueError, match="path_smooth_lag"):
+                ctor()
+
+    def test_overlap_driver_rejects(self, params):
+        from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped
+        frames = self._clip(8, key=8)
+        with pytest.raises(ValueError, match="path_smooth_lag"):
+            stabilize_stream_overlapped(Stabilizer(LAG_CFG, params),
+                                        _ArrayReader(frames, 4),
+                                        _ListWriter())
+
+
 class TestScaleSmoothing:
     """Zoom/scale sway (VERDICT round-4 missing #4): the DIVERGENCE of
     the same four half-frame shifts whose curl gives rotation recovers
