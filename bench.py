@@ -106,8 +106,23 @@ def _bench_chunked(cfg, params, frames_u8, n_iters=30, warm_reps=2,
 
     fetch = _fetch
 
-    if cfg.path_smooth > 0:
-        # The smoothed program: thread the (3,) EMA state through a box
+    if cfg.path_smooth_lag > 0:
+        # The fixed-lag program: thread its carries (D raw frames, D
+        # offset grids, the measurement window) through a box; emitted
+        # frames are D behind but shape-identical, so the chained loop
+        # is unchanged.
+        from dvsg_tpu.pipeline.stabilize import (Stabilizer,
+                                                 stabilize_chunk_lag_impl)
+        raw = jax.jit(functools.partial(stabilize_chunk_lag_impl, cfg))
+        carry_box = [Stabilizer(cfg, None)._init_lag_carry(frames_u8[0])]
+
+        def step(params, out, halo):
+            o, h, cf, co, cd, cc, offs = raw(params, out, halo,
+                                             *carry_box[0])
+            carry_box[0] = (cf, co, cd, cc)
+            return o, h, offs
+    elif cfg.path_smooth > 0:
+        # The smoothed program: thread the (4,) EMA state through a box
         # so the chained loop below stays 3-tuple shaped. (A round-4
         # review caught the first version of this metric passing a
         # smoothing cfg to the PLAIN impl — it timed the unsmoothed
@@ -481,10 +496,11 @@ def main():
         flush_detail()
 
         # Path-smoothing cost (VERDICT round-3 item 2): the same 720p
-        # chain with the cross-chunk EMA stage on (measured ~1.6%: the
-        # added work is the full-frame + 4 half-frame FFTs per pair,
-        # the upsampled-DFT refinements, and a (3,)-state scan against
-        # a full CNN + fused-warp chunk).
+        # chain with the cross-chunk smoothing stage on (round-4 measured
+        # ~1.6-2.3%: the added work is the full-frame + 4 half-frame FFTs
+        # per pair, the upsampled-DFT refinements, the peak-ratio
+        # confidence gate, and a (4,)-state scan against a full CNN +
+        # fused-warp chunk).
         def _smoothed():
             cfg_ps = cfg.replace(path_smooth=32)
             return _bench_chunked(cfg_ps, params, frames, n_iters=60,
@@ -494,6 +510,22 @@ def main():
             log(f"720p with path_smooth=32: {fps_smooth:.2f} frames/s/chip "
                 f"({(1.0 - fps_smooth / fps) * 100.0:.1f}% cost)")
         detail["fps_720p_pathsmooth32"] = fps_smooth
+        flush_detail()
+
+        # Fixed-lag smoothing cost (round-5): the zero-phase lookahead
+        # variant — extra work vs causal is the FIR contraction plus
+        # warping carried-vs-current frame splits (all tiny next to the
+        # CNN + warp).
+        def _lag_smoothed():
+            cfg_lg = cfg.replace(path_smooth=32, path_smooth_lag=16)
+            return _bench_chunked(cfg_lg, params, frames, n_iters=60,
+                                  warm_reps=2)
+        fps_lag = budget_metric("720p lag-smoothed", 35, _lag_smoothed)
+        if fps_lag is not None:
+            log(f"720p with path_smooth=32 lag=16: {fps_lag:.2f} "
+                f"frames/s/chip "
+                f"({(1.0 - fps_lag / fps) * 100.0:.1f}% cost)")
+        detail["fps_720p_pathsmooth32_lag16"] = fps_lag
         flush_detail()
 
         # Batch sweep (on-chip, 2026-08-18): per-clip T=16 1355 fps

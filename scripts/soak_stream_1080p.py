@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--path-smooth", type=int, default=0,
                     help="soak the smoothed chunk program instead "
                          "(carried EMA state; prints its final bound)")
+    ap.add_argument("--path-smooth-lag", type=int, default=0,
+                    help="soak the fixed-lag program (needs "
+                         "--path-smooth > 0): carried raw frames + "
+                         "offset grids + measurement window")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     args = ap.parse_args()
@@ -56,10 +60,12 @@ def main():
     t = auto_chunk_frames(h, w)
     n_chunks = max(1, args.frames // t)
     cfg = StabilizeConfig(model=mcfg, chunk_frames=t, warp_impl="auto",
-                          path_smooth=args.path_smooth)
+                          path_smooth=args.path_smooth,
+                          path_smooth_lag=args.path_smooth_lag)
     print(f"backend={jax.default_backend()} {w}x{h} T={t} "
           f"chunks={n_chunks} ({n_chunks * t} frames) "
-          f"path_smooth={args.path_smooth}", flush=True)
+          f"path_smooth={args.path_smooth} lag={args.path_smooth_lag}",
+          flush=True)
 
     from bench import _fetch, _shaky_frames  # repo root on sys.path
     import jax.numpy as jnp
@@ -67,7 +73,22 @@ def main():
     frames = jnp.asarray(_shaky_frames(t, h, w))
     halo = initial_halo(cfg, np.asarray(frames[0]))
     smoothing = args.path_smooth > 0
-    if smoothing:
+    lagging = args.path_smooth_lag > 0
+    if lagging:
+        from dvsg_tpu.pipeline.stabilize import (Stabilizer,
+                                                 stabilize_chunk_lag_impl)
+        lag_carry = Stabilizer(cfg, None)._init_lag_carry(
+            np.asarray(frames[0]))
+        step_l = jax.jit(functools.partial(stabilize_chunk_lag_impl,
+                                           cfg, params))
+
+        def step(f, carry):
+            hl, lc = carry
+            out, hl, cf, co, cd, cc, _ = step_l(f, hl, *lc)
+            return out, (hl, (cf, co, cd, cc))
+        carry0 = (halo, lag_carry)
+        smoothing = False       # the lag mode has no EMA state to print
+    elif smoothing:
         from dvsg_tpu.pipeline import pathsmooth
         from dvsg_tpu.pipeline.stabilize import stabilize_chunk_smooth_impl
         sstate = pathsmooth.initial_state()
