@@ -48,6 +48,19 @@ def _stabilize_chunk_batch_smooth(cfg: StabilizeConfig, params, frames_u8,
     return out, new_halos, new_states, offs
 
 
+def _stabilize_chunk_batch_lag(cfg: StabilizeConfig, params, frames_u8,
+                               halos, carries):
+    """Fixed-lag batched chunk step: the per-clip carries (D raw frames,
+    D offset grids, measurement window) ride the vmap; emission is
+    shifted by D like the single-clip lag program."""
+    from dvsg_tpu.pipeline.stabilize import stabilize_chunk_lag_impl
+    out, new_halos, cf, co, cd, cc, offs = jax.vmap(
+        lambda f, h, a, b_, c, d: stabilize_chunk_lag_impl(
+            cfg, params, f, h, a, b_, c, d)
+    )(frames_u8, halos, *carries)
+    return out, new_halos, (cf, co, cd, cc), offs
+
+
 def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     """jit the batched chunk step with clips sharded over the data axis.
 
@@ -55,11 +68,17 @@ def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     (B, 4) per-clip smoothing-state array, sharded like the clips (use
     ``pathsmooth.thread_batch_state`` to adapt it to the 3-arg drive
     loop contract)."""
-    from dvsg_tpu.pipeline import pathsmooth
-    pathsmooth.lag_reject(cfg, "the clip-sharded DP surface")
     clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))
     clip_sharded_f = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
+    if cfg.path_smooth_lag > 0:
+        shard4 = (clip_sharded_f,) * 4
+        return jax.jit(
+            functools.partial(_stabilize_chunk_batch_lag, cfg),
+            in_shardings=(repl, clip_sharded_u8, clip_sharded_f, shard4),
+            out_shardings=(clip_sharded_u8, clip_sharded_f, shard4,
+                           clip_sharded_f),
+        )
     if cfg.path_smooth > 0:
         return jax.jit(
             functools.partial(_stabilize_chunk_batch_smooth, cfg),
@@ -88,12 +107,17 @@ class ShardedClipStabilizer:
 
     def stabilize_clips(self, clips_u8: np.ndarray) -> np.ndarray:
         """clips_u8 (B, T_total, H, W, C) uint8 → same-shape stabilized."""
-        from dvsg_tpu.pipeline.stabilize import drive_chunked_batch
+        from dvsg_tpu.pipeline.stabilize import (drive_chunked_batch,
+                                                 drive_chunked_batch_lag)
         b = clips_u8.shape[0]
         if b % self.mesh.devices.size:
             raise ValueError(
                 f"clip batch {b} must divide evenly over "
                 f"{self.mesh.devices.size} devices")
+        if self.cfg.path_smooth_lag > 0:
+            return drive_chunked_batch_lag(
+                self._fn, self.params, self.cfg, clips_u8,
+                carry_sharding=NamedSharding(self.mesh, P(DATA_AXIS)))
         fn = self._fn
         if self.cfg.path_smooth > 0:
             from dvsg_tpu.pipeline import pathsmooth

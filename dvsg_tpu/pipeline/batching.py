@@ -64,8 +64,6 @@ class BatchStabilizer:
 
     def __init__(self, cfg: StabilizeConfig, params,
                  max_batch: int = 8, window_s: float = 0.005):
-        from dvsg_tpu.pipeline import pathsmooth
-        pathsmooth.lag_reject(cfg, "the serving batch engine")
         self.cfg = cfg
         self.params = params
         self.max_batch = max(1, max_batch)
@@ -139,6 +137,15 @@ class BatchStabilizer:
         if (carry is not None or return_carry) and self.cfg.path_smooth <= 0:
             raise ValueError("carry/return_carry are the path-smoothing "
                              "segment-threading API; cfg.path_smooth is 0")
+        if (carry is not None or return_carry) \
+                and self.cfg.path_smooth_lag > 0:
+            # The lag carries include D raw full-res frames; threading
+            # them across segments is carry-API surgery nobody needs yet
+            # (serve caps lag uploads at one segment instead).
+            raise ValueError(
+                "segment carries are not supported with path_smooth_lag; "
+                "submit whole clips (or use the causal smoother for "
+                "segmented streams)")
         if return_carry and frames_u8.shape[0] % self.cfg.chunk_frames:
             raise ValueError(
                 "a segment that returns a carry (i.e. any NON-FINAL "
@@ -256,8 +263,14 @@ class BatchStabilizer:
         if key not in self._fns:
             cfg = self._group_cfg(crop)
 
-            if cfg.path_smooth > 0:
-                # Per-clip (B, 3) smoothing states ride the vmap; each
+            if cfg.path_smooth_lag > 0:
+                from dvsg_tpu.parallel.dp import _stabilize_chunk_batch_lag
+
+                def step(params, frames, halos, carries):
+                    return _stabilize_chunk_batch_lag(cfg, params, frames,
+                                                      halos, carries)
+            elif cfg.path_smooth > 0:
+                # Per-clip (B, 4) smoothing states ride the vmap; each
                 # whole in-memory request is one stream, so the state is
                 # threaded per _run_group call (thread_batch_state).
                 from dvsg_tpu.pipeline.stabilize import (
@@ -303,6 +316,24 @@ class BatchStabilizer:
         cov: list = []
         cfg_group = self._group_cfg(crop)
         fn = self._fn(bp, crop)
+        if self.cfg.path_smooth_lag > 0:
+            # Whole-clip lag requests ride the lag drive (emission
+            # shifted by D; per-clip replicate-pad tails make shorter
+            # group members byte-identical to their single-clip runs).
+            from dvsg_tpu.pipeline.stabilize import drive_chunked_batch_lag
+            full = drive_chunked_batch_lag(fn, self.params, cfg_group,
+                                           batch, fetch_clips=b,
+                                           coverage_out=cov)
+            self.stats["batches"] += 1
+            self.stats["coverage_fallback_chunks"] += sum(cov)
+            if crop is not None:
+                seen = self.stats.get("crops_seen", [])
+                if crop not in seen:
+                    self.stats["crops_seen"] = sorted(seen + [crop])
+            for i, r in enumerate(items):
+                r.output = np.ascontiguousarray(full[i, :lens[i]])
+                r.done.set()
+            return
         smoothing = self.cfg.path_smooth > 0
         any_ret = any(r.return_state for r in items)
         init_halos = None

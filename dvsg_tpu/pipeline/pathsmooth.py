@@ -525,20 +525,25 @@ def lag_corrections(cfg: StabilizeConfig, deltas_ext: jax.Array,
 def lag_reject(cfg: StabilizeConfig, surface: str) -> None:
     """Fail loudly where the lag mode's delayed emission cannot work.
 
-    The lag program shifts emission by D frames and drains at EOF —
-    bookkeeping only the offline clip/stream drivers implement. Live
-    surfaces (online push, serving) keep the CAUSAL smoother by design:
-    a D-frame output delay is exactly what a live consumer cannot pay.
-    Batch/DP/temporal/export dispositions live in ARCHITECTURE.md
-    "Known gaps"; silently dropping the flag would ship un-lagged output
-    under a lag config.
+    The lag program shifts emission by D frames and drains at EOF.
+    Supported: the offline clip/sync-stream drivers, in-memory clip
+    batches (drive_chunked_batch_lag → DP sharded batches and the
+    serving engine's whole-clip requests). Rejected: truly LIVE
+    re-entry (online push — a D-frame output delay is exactly what a
+    live consumer cannot pay), the overlapped/multiclip threaded
+    streaming drivers and temporal sharding (streaming emission-shift
+    bookkeeping; dispositions in ARCHITECTURE.md), AOT export (no
+    shifted-emission slot in the artifact signature), and segment
+    carries (the lag carries include D raw frames). Silently dropping
+    the flag would ship un-lagged output under a lag config.
     """
     if cfg.path_smooth_lag > 0:
         raise ValueError(
             f"path_smooth_lag is not supported on {surface}; supported: "
             "Stabilizer.stabilize_clip / stabilize_stream "
-            "(dvsg-stabilize without --overlap). Live surfaces are "
-            "causal by design — drop the lag or use those drivers")
+            "(dvsg-stabilize without --overlap), ShardedClipStabilizer "
+            "clip batches, and the serving engine's whole-clip requests "
+            "(dvsg-serve --path-smooth-lag, one-segment uploads)")
 
 
 def apply_corrections(cfg: StabilizeConfig, offsets: jax.Array,

@@ -310,6 +310,91 @@ def drive_chunked_batch(fn, params, cfg: StabilizeConfig,
     return result
 
 
+def init_lag_carries(cfg: StabilizeConfig, first_frames: np.ndarray):
+    """Fresh per-clip lag-mode carries for a (B, H, W, C) batch of first
+    frames: (frames (B, D, H, W, C) u8, offsets (B, D, gh, gw, 2) f32,
+    deltas (B, C_len, 4) f32, conf (B, C_len) f32) — the batched analog
+    of Stabilizer._init_lag_carry (same replicate-pad semantics)."""
+    from dvsg_tpu.pipeline import pathsmooth
+    d_lag = cfg.path_smooth_lag
+    gh, gw = cfg.model.grid_size
+    c_len = pathsmooth.lag_carry_len(cfg)
+    b = first_frames.shape[0]
+    f = jnp.tile(jnp.asarray(first_frames, jnp.uint8)[:, None],
+                 (1, d_lag, 1, 1, 1))
+    return (f, jnp.zeros((b, d_lag, gh, gw, 2), jnp.float32),
+            jnp.zeros((b, c_len, pathsmooth.STATE_DIM), jnp.float32),
+            jnp.full((b, c_len), 1e6, jnp.float32))
+
+
+def drive_chunked_batch_lag(fn, params, cfg: StabilizeConfig,
+                            clips_u8: np.ndarray,
+                            fetch_clips: Optional[int] = None,
+                            coverage_out: Optional[list] = None,
+                            carry_sharding=None):
+    """Lag-mode sibling of ``drive_chunked_batch``: emission is shifted
+    by D frames, so the loop extends D frames past the input (per-clip
+    replicate pad via index clipping) and trims the emitted stream to
+    [0, total) — exactly Stabilizer._stabilize_clip_lag, batched.
+
+    ``fn(params, frames (B, T, ...), halos, carries)`` must return
+    ``(out, new_halos, new_carries, offsets)`` where carries is the
+    4-tuple of init_lag_carries. Keeps the one-chunk-behind fetch.
+    Whole-clip batches only (no mid-stream halo/state seeding): the lag
+    carries include D raw frames, which segmented callers would have to
+    thread — the serving engine instead rejects segment carries with lag
+    (pipeline/batching.py).
+    """
+    b, total = clips_u8.shape[:2]
+    k = b if fetch_clips is None else fetch_clips
+    t_chunk = cfg.chunk_frames
+    d_lag = cfg.path_smooth_lag
+    check_cov = coverage_out is not None
+    if check_cov:
+        from dvsg_tpu.ops.warp import resolve_impl
+        while len(coverage_out) < k:
+            coverage_out.append(0)
+        check_cov = resolve_impl(cfg.warp_impl).startswith("pallas")
+    h, w = clips_u8.shape[2], clips_u8.shape[3]
+
+    def note_cov(offs_dev):
+        from dvsg_tpu.ops import warp_wide
+        offs = np.asarray(offs_dev)
+        for i in range(k):
+            if not warp_wide.offsets_coverage_ok(
+                    offs[i], h, w, border_crop=cfg.border_crop):
+                coverage_out[i] += 1
+
+    halos = jnp.stack([initial_halo(cfg, clips_u8[i, 0])
+                       for i in range(b)])
+    carries = init_lag_carries(cfg, clips_u8[:, 0])
+    if carry_sharding is not None:
+        halos = jax.device_put(halos, carry_sharding)
+        carries = tuple(jax.device_put(c, carry_sharding)
+                        for c in carries)
+    outs = []
+    pending = None           # (device out, offsets, lo, hi)
+    base = -d_lag
+    for start in range(0, total + d_lag, t_chunk):
+        idx = np.clip(np.arange(start, start + t_chunk), 0, total - 1)
+        chunk = np.ascontiguousarray(clips_u8[:, idx])
+        out, halos, carries, offs = fn(params, put_frames(chunk), halos,
+                                       carries)
+        if pending is not None:
+            outs.append(fetch_frames(pending[0][:k, pending[2]:pending[3]]))
+            if check_cov:
+                note_cov(pending[1])
+        lo = max(0, -base)
+        hi = min(t_chunk, total - base)
+        pending = (out, offs if check_cov else None, lo, hi)
+        base += t_chunk
+    if pending is not None:
+        outs.append(fetch_frames(pending[0][:k, pending[2]:pending[3]]))
+        if check_cov:
+            note_cov(pending[1])
+    return np.concatenate([o for o in outs if o.shape[1]], axis=1)
+
+
 def put_frames(host_frames: np.ndarray) -> jax.Array:
     """Host→device upload of (..., H, W, C) uint8 frames.
 

@@ -191,6 +191,24 @@ def _stabilize_bytes(state: _State, data: bytes, fmt: str,
                 req_crop, _, _ = pick_border_crop(
                     state.engine.cfg, state.engine.params, c)
             n_out = 0
+            if state.engine.cfg.path_smooth_lag > 0:
+                # Lag mode serves WHOLE uploads (stored files, so the
+                # D-frame lookahead is free) but caps them at one
+                # segment: the lag carries include D raw frames, which
+                # the segment-threading carry API does not ship.
+                more = _read_sanitized(reader, 1)
+                if more.shape[0]:
+                    raise ValueError(
+                        "upload too long for --path-smooth-lag serving "
+                        f"(decodes past the ~{seg}-frame segment cap); "
+                        "shorten the clip or use a causal --path-smooth "
+                        "server for segmented streaming")
+                out = state.engine.stabilize_clip(c, border_crop=req_crop)
+                with video_io.VideoWriter(dst, w, h, fps) as writer:
+                    writer.write_batch(out)
+                n_out = out.shape[0]
+                with open(dst, "rb") as f:
+                    return f.read(), n_out, req_crop
             if state.engine.cfg.path_smooth > 0:
                 # Path smoothing carries per-stream state (halo + EMA);
                 # the stateless prefix-replay below would double-consume
@@ -300,6 +318,13 @@ def main(argv=None) -> int:
     p.add_argument("--path-smooth-max", type=float, default=0.05,
                    help="clamp on the extra smoothing correction "
                         "(normalized units)")
+    p.add_argument("--path-smooth-lag", type=int, default=0, metavar="D",
+                   help="fixed-lag smoothing lookahead (see "
+                        "dvsg-stabilize --path-smooth-lag): uploads are "
+                        "stored files, so the D-frame lookahead costs "
+                        "nothing — but they must fit one raw-frame "
+                        "segment (longer uploads answer 400; run a "
+                        "causal server for segmented streaming)")
     p.add_argument("--border-crop", default="0",
                    help="crop fraction zoomed into the warp, or 'auto': "
                         "each request's crop is measured by a cheap "
@@ -352,7 +377,8 @@ def main(argv=None) -> int:
                           border_crop=0.0 if autocrop else border_crop,
                           strength=args.strength,
                           path_smooth=args.path_smooth,
-                          path_smooth_max=args.path_smooth_max)
+                          path_smooth_max=args.path_smooth_max,
+                          path_smooth_lag=args.path_smooth_lag)
     engine = BatchStabilizer(cfg, params, max_batch=args.max_batch,
                              window_s=args.batch_window_ms / 1e3)
     srv = make_server(args.host, args.port, engine, desc,

@@ -97,6 +97,37 @@ class TestCLI:
         assert np.max(np.abs(out.astype(int) - frames.astype(int))) <= 1
         assert os.path.exists(tmp_path / "m.jsonl")
 
+    def test_stabilize_lag_cli_matches_library(self, tmp_path, clip_u8):
+        """--path-smooth-lag rides the sync stream driver end-to-end and
+        matches Stabilizer.stabilize_clip byte-for-byte; with --overlap
+        it must error out cleanly (live/overlap drivers are causal)."""
+        from dvsg_tpu.config import ModelConfig, StabilizeConfig
+        from dvsg_tpu.models import motion_cnn
+        from dvsg_tpu.pipeline.stabilize import Stabilizer
+        frames, _ = clip_u8
+        src = str(tmp_path / "in_lag")
+        dst = str(tmp_path / "out_lag")
+        with video_io.VideoWriter(src, 64, 48) as w:
+            w.write_batch(frames)
+        args = ["--input", src, "--output", dst,
+                "--window", "3", "--model-size", "32", "32",
+                "--grid-size", "8", "8", "--chunk-frames", "4",
+                "--warp-impl", "lax", "--platform", "cpu",
+                "--path-smooth", "8", "--path-smooth-lag", "4"]
+        assert cli.stabilize_main(args) == 0
+        with video_io.VideoReader(dst) as r:
+            out = r.read_batch(32)
+        mcfg = ModelConfig(window=3, model_size=(32, 32), grid_size=(8, 8))
+        cfg = StabilizeConfig(model=mcfg, chunk_frames=4, warp_impl="lax",
+                              path_smooth=8, path_smooth_lag=4)
+        ref = Stabilizer(cfg, motion_cnn.init_params(
+            mcfg, __import__("jax").random.key(0))).stabilize_clip(frames)
+        np.testing.assert_array_equal(out, ref)
+        rc = cli.stabilize_main(args[:-4] + ["--path-smooth", "8",
+                                             "--path-smooth-lag", "4",
+                                             "--overlap"])
+        assert rc != 0
+
     def test_stabilize_overlapped_matches_sync(self, tmp_path, clip_u8):
         """Overlapped driver must be output-identical to the sync loop
         (SURVEY.md §5.2 determinism discipline)."""

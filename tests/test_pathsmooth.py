@@ -557,20 +557,66 @@ class TestLagSmoothing:
 
     def test_unsupported_surfaces_reject(self, params):
         from dvsg_tpu import export
-        from dvsg_tpu.parallel import dp, temporal
+        from dvsg_tpu.parallel import temporal
         from dvsg_tpu.parallel.mesh import make_mesh
-        from dvsg_tpu.pipeline.batching import BatchStabilizer
         from dvsg_tpu.pipeline.online import OnlineStabilizer
         mesh = make_mesh((len(jax.devices()),))
         for ctor in (
                 lambda: OnlineStabilizer(LAG_CFG, params),
-                lambda: BatchStabilizer(LAG_CFG, params),
-                lambda: dp.make_sharded_chunk_fn(LAG_CFG, mesh),
                 lambda: temporal.make_temporal_chunk_fn(LAG_CFG, mesh),
                 lambda: export.export_chunk_program(LAG_CFG, params,
                                                     40, 48)):
             with pytest.raises(ValueError, match="path_smooth_lag"):
                 ctor()
+
+    def test_dp_sharded_lag_matches_single(self, params):
+        """Lag on the clip-sharded DP surface (drive_chunked_batch_lag):
+        per-clip carries ride the vmap + sharding; byte-identical to the
+        single-clip lag pipeline."""
+        from dvsg_tpu.parallel.dp import ShardedClipStabilizer
+        from dvsg_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices())
+        mesh = make_mesh((n,))
+        clips = np.stack([
+            np.asarray(synthetic.synthetic_clip_u8(
+                jax.random.key(300 + i), 10, 40, 48)[0])
+            for i in range(n)])
+        outs = ShardedClipStabilizer(LAG_CFG, params,
+                                     mesh).stabilize_clips(clips)
+        for i in range(n):
+            ref = Stabilizer(LAG_CFG, params).stabilize_clip(clips[i])
+            np.testing.assert_array_equal(outs[i], ref)
+
+    def test_batch_engine_lag_matches_single(self, params):
+        """Whole-clip lag requests through the serving engine — incl. a
+        mixed-length group — match the single-clip lag pipeline; segment
+        carries with lag are rejected."""
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        clips = [np.asarray(synthetic.synthetic_clip_u8(
+            jax.random.key(310 + i), 10 - 3 * i, 40, 48)[0])
+            for i in range(2)]                       # lengths 10 and 7
+        engine = BatchStabilizer(LAG_CFG, params, max_batch=2,
+                                 window_s=0.05)
+        try:
+            import threading
+            outs = [None, None]
+
+            def run(i):
+                outs[i] = engine.stabilize_clip(clips[i])
+
+            ts = [threading.Thread(target=run, args=(i,))
+                  for i in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            for i in range(2):
+                ref = Stabilizer(LAG_CFG, params).stabilize_clip(clips[i])
+                np.testing.assert_array_equal(outs[i], ref)
+            with pytest.raises(ValueError, match="segment carries"):
+                engine.stabilize_clip(clips[0], return_carry=True)
+        finally:
+            engine.close()
 
     def test_overlap_driver_rejects(self, params):
         from dvsg_tpu.pipeline.overlap import stabilize_stream_overlapped

@@ -508,6 +508,43 @@ class TestSmoothedServing:
         finally:
             engine.close()
 
+    def test_lag_serving_whole_upload(self, tmp_path):
+        """--path-smooth-lag serving: one-segment uploads stabilize
+        byte-identically to the offline lag pipeline; uploads decoding
+        past one segment answer a clean client error."""
+        from dvsg_tpu.pipeline.batching import BatchStabilizer
+        from dvsg_tpu.pipeline.stabilize import Stabilizer
+        params = motion_cnn.init_params(MCFG, jax.random.key(7))
+        lcfg = self.SCFG.replace(path_smooth_lag=4)
+        clip = self._clip(t=14)
+        src_mp4 = str(tmp_path / "in.mp4")
+        with video_io.VideoWriter(src_mp4, 48, 40, fps=24.0) as w:
+            w.write_batch(clip)
+        with open(src_mp4, "rb") as f:
+            data = f.read()
+        engine = BatchStabilizer(lcfg, params, max_batch=2,
+                                 window_s=0.02)
+        state = serve._State()
+        state.engine = engine
+        try:
+            out_bytes, n, _ = serve._stabilize_bytes(state, data, "mp4")
+            assert n == 14
+            # Container bytes == re-encoding the offline lag output.
+            with video_io.VideoReader(src_mp4) as rd:
+                decoded = rd.read_batch(32)
+            ref = Stabilizer(lcfg, params).stabilize_clip(decoded)
+            dst = str(tmp_path / "ref.mp4")
+            with video_io.VideoWriter(dst, 48, 40, fps=24.0) as w:
+                w.write_batch(ref)
+            with open(dst, "rb") as f:
+                assert out_bytes == f.read()
+            # Over one segment: clean ValueError (→ HTTP 400).
+            with pytest.raises(ValueError, match="path-smooth-lag"):
+                serve._stabilize_bytes(state, data, "mp4",
+                                       segment_bytes=8 * 40 * 48 * 3)
+        finally:
+            engine.close()
+
     def test_mixed_carry_group_batches_correctly(self):
         """A second-segment request (with carry) grouped with a same-
         length FIRST-segment request (fresh state, return_carry) must
