@@ -67,7 +67,10 @@ def make_sharded_chunk_fn(cfg: StabilizeConfig, mesh: Mesh):
     With cfg.path_smooth > 0 the returned fn takes and returns a fourth
     (B, 4) per-clip smoothing-state array, sharded like the clips (use
     ``pathsmooth.thread_batch_state`` to adapt it to the 3-arg drive
-    loop contract)."""
+    loop contract). With cfg.path_smooth_lag > 0 it is instead the
+    4-arg lag step fn(params, frames, halos, carries) for
+    ``drive_chunked_batch_lag`` (carries = init_lag_carries 4-tuple,
+    each clip-sharded)."""
     clip_sharded_u8 = NamedSharding(mesh, P(DATA_AXIS))
     clip_sharded_f = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())

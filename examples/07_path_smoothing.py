@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--horizon", type=int, default=32,
                     help="EMA horizon in frames (the --path-smooth value)")
+    ap.add_argument("--lag", type=int, default=16,
+                    help="fixed-lag lookahead for the third run "
+                         "(--path-smooth-lag value)")
     args = ap.parse_args()
 
     import jax
@@ -73,16 +76,20 @@ def main():
         return float(np.sqrt(((p - p.mean(0)) ** 2).mean()))
 
     print(f"input tracked path RMS: {path_rms(clip):.2f} px")
-    for horizon in (0, args.horizon):
+    for horizon, lag in ((0, 0), (args.horizon, 0),
+                         (args.horizon, args.lag)):
         cfg = StabilizeConfig(model=mcfg, chunk_frames=16,
                               warp_impl="auto" if not args.platform
                               else "lax",
-                              path_smooth=horizon)
+                              path_smooth=horizon, path_smooth_lag=lag)
         out = Stabilizer(cfg, params).stabilize_clip(clip)
-        label = f"path_smooth={horizon}" if horizon else "plain"
-        print(f"{label:>16}: tracked path RMS {path_rms(out):.2f} px")
+        label = ("plain" if not horizon else
+                 f"path_smooth={horizon}" + (f" lag={lag}" if lag else ""))
+        print(f"{label:>24}: tracked path RMS {path_rms(out):.2f} px")
     print("smoothing removes the sway the window-relative model cannot "
-          "see; pair with --border-crop auto to hide the larger borders")
+          "see; the zero-phase lag mode tracks the path tighter for the "
+          "price of --lag frames of output delay (offline runs); pair "
+          "with --border-crop auto to hide the larger borders")
     return 0
 
 
