@@ -915,6 +915,33 @@ class TestUnsupportedSurfaces:
         assert crop_smooth >= crop_plain + CFG.path_smooth_max - 1 / 64
 
 
+class TestFuzzChunkInvariance:
+    """Seeded fuzz over (mode, clip length, chunk-size pair): every
+    smoothing mode must be chunk-size-invariant bit-for-bit — the
+    property the whole carry design rests on."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_modes_invariant(self, params, seed):
+        rng = np.random.default_rng(seed)
+        t = int(rng.integers(9, 18))
+        frames = np.asarray(synthetic.synthetic_clip_u8(
+            jax.random.key(400 + seed), t, 40, 48)[0])
+        mode = [
+            {},                                            # causal
+            {"path_smooth_rotation": False,
+             "path_smooth_scale": False},                  # translation
+            {"path_smooth_conf": 0.0, "path_smooth_cut": 0.0},  # ungated
+            {"path_smooth_lag": 2},                        # fixed-lag
+        ][seed % 4]
+        cfg = CFG.replace(**mode)
+        c_lo, c_hi = sorted(rng.choice([2, 4, 8], 2, replace=False))
+        out_lo = Stabilizer(cfg.replace(chunk_frames=int(c_lo)),
+                            params).stabilize_clip(frames)
+        out_hi = Stabilizer(cfg.replace(chunk_frames=int(c_hi)),
+                            params).stabilize_clip(frames)
+        np.testing.assert_array_equal(out_lo, out_hi)
+
+
 class TestConfigValidation:
     def test_rejects_negative(self):
         with pytest.raises(ValueError, match="path_smooth"):
