@@ -690,6 +690,9 @@ def eval_main(argv=None) -> int:
                         "target, which a smoothed output intentionally "
                         "deviates from — read the steadiness/tracking "
                         "metrics for this mode")
+    p.add_argument("--path-smooth-lag", type=int, default=0, metavar="D",
+                   help="evaluate the fixed-lag (zero-phase) smoothing "
+                        "mode (see dvsg-stabilize --path-smooth-lag)")
     p.add_argument("--stills", default=None, metavar="CLIP",
                    help="evaluate on YOUR imagery: a video/frame dir whose "
                         "frames become the base images (resized to --size, "
@@ -726,7 +729,8 @@ def eval_main(argv=None) -> int:
     chunk = args.chunk_frames or _auto_chunk(h, w)
     cfg = StabilizeConfig(model=mcfg, chunk_frames=chunk,
                           warp_impl=args.warp_impl,
-                          path_smooth=args.path_smooth)
+                          path_smooth=args.path_smooth,
+                          path_smooth_lag=args.path_smooth_lag)
     stab = Stabilizer(cfg, params)
     stills = None
     if args.stills:
